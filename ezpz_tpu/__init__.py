@@ -1,0 +1,100 @@
+"""ezpz_tpu — a TPU-native 2D geometric constraint solver.
+
+A from-scratch JAX/XLA implementation of the problem class solved by the
+reference Rust solver (KittyCAD/ezpz): declare 2D geometry (points, lines,
+circles, arcs), declare constraints between them (coincident, distance,
+parallel, tangent, ...), provide initial guesses, and solve the resulting
+sparse nonlinear least-squares system with Levenberg-Marquardt.
+
+Architecture (TPU-first, not a port):
+
+* Constraints are *compiled* to padded per-constraint-type index/param arrays
+  (``ezpz_tpu.models.compiled.CompiledSystem``) instead of an enum interpreted
+  row by row (reference: ``ezpz/src/solver.rs:318-440``).
+* Residuals are pure vmapped kernels; Jacobians come from ``jax.jacfwd`` of
+  those kernels (the reference property-tests analytic == finite-difference
+  Jacobians, ``ezpz/src/tests/proptests.rs:188-234``, so autodiff matches).
+* The normal equations (JtJ + lambda I) d = -Jt r are assembled scatter-free
+  via segment sums and solved with batched dense Cholesky.
+* The LM loop is a jit-compiled ``lax.while_loop`` with the reference's exact
+  accept/reject and convergence semantics (``ezpz/src/solver/newton.rs:29-145``).
+* Thousands of independent sketches batch with ``vmap`` on one chip; giant
+  systems shard over a ``jax.sharding.Mesh``.
+
+Numerics default to float64 (x64 mode is enabled on import) to hit the
+reference's 1e-8 residual tolerance.
+"""
+
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+from .config import Config
+from .constraints import (
+    Constraint,
+    ConstraintRequest,
+    LineSide,
+    CircleSide,
+)
+from .datatypes import (
+    Angle,
+    AngleKind,
+    DatumPoint,
+    DatumLineSegment,
+    DatumCircle,
+    DatumCircularArc,
+    DatumDistance,
+    Point,
+    Circle,
+    Arc,
+    Component,
+)
+from .utils.ids import Id, IdGenerator
+from .utils.warnings import Warning, WarningContent
+from .utils.errors import (
+    EzpzError,
+    NonLinearSystemError,
+    MissingGuess,
+    WrongNumberGuesses,
+    EmptySystemNotAllowed,
+    TextualError,
+)
+from .outcomes import SolveOutcome, FailureOutcome, FreedomAnalysis, SolveOutcomeFreedomAnalysis
+from .api import solve, solve_analysis
+
+__all__ = [
+    "Config",
+    "Constraint",
+    "ConstraintRequest",
+    "LineSide",
+    "CircleSide",
+    "Angle",
+    "AngleKind",
+    "DatumPoint",
+    "DatumLineSegment",
+    "DatumCircle",
+    "DatumCircularArc",
+    "DatumDistance",
+    "Point",
+    "Circle",
+    "Arc",
+    "Component",
+    "Id",
+    "IdGenerator",
+    "Warning",
+    "WarningContent",
+    "EzpzError",
+    "NonLinearSystemError",
+    "MissingGuess",
+    "WrongNumberGuesses",
+    "EmptySystemNotAllowed",
+    "TextualError",
+    "SolveOutcome",
+    "FailureOutcome",
+    "FreedomAnalysis",
+    "SolveOutcomeFreedomAnalysis",
+    "solve",
+    "solve_analysis",
+]
+
+__version__ = "0.1.0"

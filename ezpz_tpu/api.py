@@ -1,0 +1,221 @@
+"""Public solve API: priority cascade, validation, satisfaction, warnings.
+
+Mirrors ``ezpz/src/lib.rs``:
+
+* ``solve(reqs, initial_guesses, config)`` — the priority cascade solves the
+  highest-priority subset first, then keeps adding lower tiers until a tier
+  fails or leaves constraints unsatisfied, returning the last fully-satisfied
+  tier's solution (``lib.rs:199-246``). Each tier restarts from the original
+  guesses.
+* Undefined tangency sides are inferred from the initial values before
+  solving (``lib.rs:183-186``).
+* After the LM loop, every constraint is re-checked unweighted against
+  ``EPSILON = 1e-4`` (``lib.rs:307-327``).
+* Degenerate geometry produces warnings, not errors; non-convergence returns
+  ``converged = False``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .config import Config
+from .constraints import Constraint, ConstraintRequest
+from .dof import freedom_analysis
+from .models.compiled import CompiledSystem, compile_system, topology_key
+from .outcomes import (
+    FailureOutcome,
+    FreedomAnalysis,
+    SolveOutcome,
+    SolveOutcomeFreedomAnalysis,
+)
+from .solver import make_solver
+from .utils.errors import MissingGuess, NotFound, WrongNumberGuesses
+from .utils.ids import Id
+from .utils.warnings import Warning, WarningKind, lint
+
+# Cache of jitted solvers keyed by compiled topology, so repeated solves of
+# the same sketch (priority tiers, CLI timing loops, tests) compile once.
+_SOLVER_CACHE: Dict[tuple, tuple] = {}
+_SOLVER_CACHE_LIMIT = 256
+
+
+def _validate_and_densify(
+    entries: Sequence[Tuple[int, ConstraintRequest]],
+    initial_guesses: Sequence[Tuple[Id, float]],
+) -> np.ndarray:
+    """Check every referenced variable has a guess (``solver.rs:142-189``)
+    and build the flat variable vector indexed by id."""
+    ids = [g[0] for g in initial_guesses]
+    id_set = set(ids)
+    if len(id_set) != len(ids):
+        raise WrongNumberGuesses(labels=len(id_set), guesses=len(ids))
+    n = len(ids)
+    for vid in ids:
+        if not (0 <= vid < n):
+            raise NotFound(vid)
+    for cid, req in entries:
+        for row in req.constraint.nonzero_rows():
+            for vid in row:
+                if vid not in id_set:
+                    raise MissingGuess(constraint_id=cid, variable=vid)
+    x = np.zeros(n, dtype=np.float64)
+    for vid, val in initial_guesses:
+        x[vid] = val
+    return x
+
+
+def _get_solver(system: CompiledSystem, constraints, weights, max_iterations: int):
+    key = (
+        topology_key(constraints, system.n_vars),
+        tuple(weights),
+        max_iterations,
+        str(system.dtype),
+    )
+    hit = _SOLVER_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    solver = make_solver(system, max_iterations)
+    if len(_SOLVER_CACHE) >= _SOLVER_CACHE_LIMIT:
+        _SOLVER_CACHE.clear()
+    _SOLVER_CACHE[key] = (system, solver)
+    return solver
+
+
+def _solve_inner(
+    entries: Sequence[Tuple[int, ConstraintRequest]],
+    initial_guesses: Sequence[Tuple[Id, float]],
+    config: Config,
+    want_analysis: bool,
+) -> Tuple[Optional[FreedomAnalysis], SolveOutcome]:
+    num_vars = len(initial_guesses)
+    num_eqs = sum(req.constraint.residual_dim() for _cid, req in entries)
+    warnings: List[Warning] = lint([(cid, req.constraint) for cid, req in entries])
+
+    try:
+        x0 = _validate_and_densify(entries, initial_guesses)
+    except Exception as error:  # typed errors from validation
+        raise FailureOutcome(
+            error=error, warnings=warnings, num_vars=num_vars, num_eqs=num_eqs
+        ) from None
+
+    constraints = [req.constraint for _cid, req in entries]
+    weights = [req.weight for _cid, req in entries]
+    system = compile_system(constraints, n_vars=len(x0), weights=weights)
+    solver = _get_solver(system, constraints, weights, config.max_iterations)
+
+    res, sat = solver(
+        x0, config.residual_tolerance, config.step_tolerance, config.initial_lambda
+    )
+    x_final = np.asarray(res.x)
+    sat = np.asarray(sat)
+    deg = np.asarray(res.deg)
+
+    # Degenerate warnings, one per flagged constraint (the reference pushes a
+    # warning per evaluation and can duplicate; we deduplicate).
+    for local_idx, flagged in enumerate(deg):
+        if flagged:
+            warnings.append(
+                Warning(about_constraint=entries[local_idx][0], content=WarningKind.DEGENERATE)
+            )
+
+    unsatisfied = [entries[i][0] for i in range(len(entries)) if not sat[i]]
+
+    analysis: Optional[FreedomAnalysis] = None
+    if want_analysis:
+        j = np.asarray(system.jacobian_dense(res.x))
+        try:
+            analysis = freedom_analysis(j)
+        except Exception as error:
+            raise FailureOutcome(
+                error=error, warnings=warnings, num_vars=num_vars, num_eqs=num_eqs
+            ) from None
+
+    priority_solved = max((req.priority for _cid, req in entries), default=0)
+    outcome = SolveOutcome(
+        unsatisfied=unsatisfied,
+        converged=bool(res.converged),
+        final_values=[float(v) for v in x_final],
+        iterations=int(res.iterations),
+        warnings=warnings,
+        priority_solved=priority_solved,
+    )
+    return analysis, outcome
+
+
+def _solve_with_priority(
+    reqs: Sequence[ConstraintRequest],
+    initial_guesses: Sequence[Tuple[Id, float]],
+    config: Config,
+    want_analysis: bool,
+) -> Tuple[Optional[FreedomAnalysis], SolveOutcome]:
+    initial_guesses = list(initial_guesses)
+    if not reqs:
+        return (
+            FreedomAnalysis([]) if want_analysis else None,
+            SolveOutcome(
+                unsatisfied=[],
+                converged=True,
+                final_values=[val for _id, val in initial_guesses],
+                iterations=0,
+                warnings=[],
+                priority_solved=0,
+            ),
+        )
+
+    # Densify by id for tangency-side inference (``lib.rs:172-186``).
+    max_id = max((vid for vid, _ in initial_guesses), default=0)
+    dense = [0.0] * (max_id + 1)
+    for vid, val in initial_guesses:
+        dense[vid] = val
+    resolved = [
+        ConstraintRequest(
+            constraint=r.constraint.set_from_initial_values(dense),
+            priority=r.priority,
+            weight=r.weight,
+        )
+        for r in reqs
+    ]
+    entries = list(enumerate(resolved))
+
+    priorities = sorted({r.priority for r in resolved})
+
+    best: Optional[Tuple[Optional[FreedomAnalysis], SolveOutcome]] = None
+    for curr_max in priorities:
+        subset = [(cid, req) for cid, req in entries if req.priority <= curr_max]
+        try:
+            result = _solve_inner(subset, initial_guesses, config, want_analysis)
+        except FailureOutcome:
+            if best is not None:
+                return best
+            raise
+        if result[1].is_unsatisfied():
+            return best if best is not None else result
+        best = result
+    assert best is not None
+    return best
+
+
+def solve(
+    reqs: Sequence[ConstraintRequest],
+    initial_guesses: Sequence[Tuple[Id, float]],
+    config: Config = Config(),
+) -> SolveOutcome:
+    """Solve the constraint system. Raises ``FailureOutcome`` on definition
+    errors; returns ``converged=False`` (not an error) when LM stalls."""
+    _analysis, outcome = _solve_with_priority(reqs, initial_guesses, config, False)
+    return outcome
+
+
+def solve_analysis(
+    reqs: Sequence[ConstraintRequest],
+    initial_guesses: Sequence[Tuple[Id, float]],
+    config: Config = Config(),
+) -> SolveOutcomeFreedomAnalysis:
+    """Like ``solve`` but also runs the (expensive) degrees-of-freedom
+    analysis. Call on structure changes, not every value tweak."""
+    analysis, outcome = _solve_with_priority(reqs, initial_guesses, config, True)
+    assert analysis is not None
+    return SolveOutcomeFreedomAnalysis(analysis=analysis, outcome=outcome)

@@ -1,0 +1,33 @@
+"""Solver configuration (``ezpz/src/solver.rs:33-81``)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+# Initial Levenberg-Marquardt damping (``solver.rs:23``).
+DEFAULT_INITIAL_LAMBDA = 1e-9
+# Adaptive damping multipliers (``solver/newton.rs:15-16``).
+LM_LAMBDA_INCR = 10.0
+LM_LAMBDA_DECR = 0.1
+
+
+@dataclass(frozen=True)
+class Config:
+    """How to solve a system. Defaults match the reference exactly."""
+
+    max_iterations: int = 35
+    residual_tolerance: float = 1e-8
+    step_tolerance: float = 1e-12
+    initial_lambda: float = DEFAULT_INITIAL_LAMBDA
+
+    def with_max_iterations(self, value: int) -> "Config":
+        return replace(self, max_iterations=value)
+
+    def with_convergence_tolerance(self, value: float) -> "Config":
+        return replace(self, residual_tolerance=value)
+
+    def with_step_tolerance(self, value: float) -> "Config":
+        return replace(self, step_tolerance=value)
+
+    def with_initial_lambda(self, value: float) -> "Config":
+        return replace(self, initial_lambda=value)

@@ -1,0 +1,216 @@
+"""Compile a constraint system to padded per-type arrays.
+
+This is the TPU-native replacement for the reference's sparse-triplet model
+assembly (``ezpz/src/solver.rs:192-301``): instead of building a CSC sparsity
+pattern and filling it row by row with a per-column linear search
+(``solver.rs:412-418``), we group constraints by kernel type into static
+``(n_type, nvars)`` index arrays and ``(n_type, nparams)`` parameter arrays.
+
+Evaluation is then gather -> vmapped kernel -> concat (residual) and
+gather -> vmapped ``jacfwd`` -> segment-sum outer products (normal
+equations). Everything is static-shaped, jit-friendly, and batchable with
+``vmap`` over many systems sharing a topology.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constraints import Constraint, ConstraintRequest
+from ..ops.kernels import KERNELS, KernelSpec
+
+EPSILON = 1e-4  # satisfaction tolerance, ezpz/src/lib.rs:43
+
+
+@dataclass(frozen=True)
+class KindBlock:
+    """All instances of one kernel type.
+
+    Arrays are host numpy: they are topology constants baked into the jitted
+    computation (lowering numpy constants avoids device round-trips; with a
+    remote-tunnel TPU backend, fetching device constants during lowering is
+    pathologically slow).
+    """
+
+    spec: KernelSpec
+    idx: np.ndarray  # (n, nvars) int32 — gather indices into x
+    par: np.ndarray  # (n, nparams) float
+    weight: np.ndarray  # (n,) float — constraint weights
+    cid: np.ndarray  # (n,) int32 — originating constraint index
+
+
+@dataclass(frozen=True)
+class CompiledSystem:
+    """A constraint system compiled to arrays.
+
+    ``n_vars`` is the length of the flat variable vector (indexed by Id).
+    Residual rows are laid out grouped by kernel type; row order does not
+    affect the LM iteration (JtJ, Jtr, and norms are order-invariant), and
+    per-constraint bookkeeping goes through ``cid``.
+    """
+
+    n_vars: int
+    n_constraints: int
+    n_rows: int
+    blocks: Tuple[KindBlock, ...]
+    dtype: jnp.dtype = jnp.float64
+
+    # -- evaluation ----------------------------------------------------------
+
+    def residual(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Weighted global residual, shape (n_rows,). Matches the reference's
+        ``Model::residual`` (``solver.rs:318-356``) up to row ordering."""
+        parts = []
+        for b in self.blocks:
+            res, _deg = jax.vmap(b.spec.fn)(x[b.idx], b.par)
+            parts.append((res * b.weight[:, None]).reshape(-1))
+        return jnp.concatenate(parts) if parts else jnp.zeros((0,), self.dtype)
+
+    def residual_and_flags(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(weighted residual (n_rows,), per-constraint degenerate flags
+        (n_constraints,) bool)."""
+        parts = []
+        deg_acc = jnp.zeros((self.n_constraints,), jnp.bool_)
+        for b in self.blocks:
+            res, deg = jax.vmap(b.spec.fn)(x[b.idx], b.par)
+            parts.append((res * b.weight[:, None]).reshape(-1))
+            deg_acc = deg_acc.at[b.cid].max(deg)
+        r = jnp.concatenate(parts) if parts else jnp.zeros((0,), self.dtype)
+        return r, deg_acc
+
+    def normal_equations(
+        self, x: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Evaluate r(x), JtJ, Jtr, and per-constraint degenerate flags.
+
+        JtJ and Jtr are assembled scatter-add style from per-instance outer
+        products — the segment-sum equivalent of the reference's sparse
+        J^T * J product (``newton.rs:73-84``) without any sparse bookkeeping.
+        """
+        n = self.n_vars
+        jtj = jnp.zeros((n, n), self.dtype)
+        jtr = jnp.zeros((n,), self.dtype)
+        parts = []
+        deg_acc = jnp.zeros((self.n_constraints,), jnp.bool_)
+        for b in self.blocks:
+            v = x[b.idx]  # (nb, nv)
+            jac, (res, deg) = jax.vmap(
+                lambda vv, pp, fn=b.spec.fn: _jac_with_value(fn, vv, pp)
+            )(v, b.par)
+            wres = res * b.weight[:, None]  # (nb, dim)
+            wjac = jac * b.weight[:, None, None]  # (nb, dim, nv)
+            contrib = jnp.einsum("ndk,ndl->nkl", wjac, wjac)
+            jtj = jtj.at[b.idx[:, :, None], b.idx[:, None, :]].add(contrib)
+            jtr = jtr.at[b.idx].add(jnp.einsum("ndk,nd->nk", wjac, wres))
+            parts.append(wres.reshape(-1))
+            deg_acc = deg_acc.at[b.cid].max(deg)
+        r = jnp.concatenate(parts) if parts else jnp.zeros((0,), self.dtype)
+        return r, jtj, jtr, deg_acc
+
+    def jacobian_dense(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Weighted dense Jacobian, shape (n_rows, n_vars). Used by the
+        freedom (DoF) analysis; row order is the compiled row order."""
+        J = jnp.zeros((self.n_rows, self.n_vars), self.dtype)
+        row = 0
+        for b in self.blocks:
+            nb = int(b.idx.shape[0])
+            dim = b.spec.dim
+            jac, (_res, _deg) = jax.vmap(
+                lambda vv, pp, fn=b.spec.fn: _jac_with_value(fn, vv, pp)
+            )(x[b.idx], b.par)
+            wjac = jac * b.weight[:, None, None]  # (nb, dim, nv)
+            rows = row + (
+                jnp.arange(nb, dtype=jnp.int32)[:, None] * dim
+                + jnp.arange(dim, dtype=jnp.int32)[None, :]
+            )  # (nb, dim)
+            J = J.at[rows[:, :, None], b.idx[:, None, :]].add(wjac)
+            row += nb * dim
+        return J
+
+    def constraint_satisfaction(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Per-constraint satisfaction: max |unweighted residual row| < 1e-4
+        (``ezpz/src/lib.rs:307-327,358-370``). Returns (n_constraints,) bool."""
+        worst = jnp.zeros((self.n_constraints,), self.dtype)
+        for b in self.blocks:
+            res, _deg = jax.vmap(b.spec.fn)(x[b.idx], b.par)
+            inst_max = jnp.max(jnp.abs(res), axis=1)  # unweighted
+            worst = worst.at[b.cid].max(inst_max)
+        return worst < EPSILON
+
+
+def _jac_with_value(fn, v, p):
+    """(d res / d v, (res, deg)) for a single instance."""
+
+    def wrapped(vv):
+        res, deg = fn(vv, p)
+        return res, (res, deg)
+
+    jac, (res, deg) = jax.jacfwd(wrapped, has_aux=True)(v)
+    return jac, (res, deg)
+
+
+def compile_system(
+    constraints: Sequence[Constraint],
+    n_vars: int,
+    weights: Optional[Sequence[float]] = None,
+    dtype=jnp.float64,
+) -> CompiledSystem:
+    """Group lowered kernel instances by type into padded arrays.
+
+    ``constraints`` must already have tangency sides resolved
+    (``Constraint.set_from_initial_values``).
+    """
+    if weights is None:
+        weights = [1.0] * len(constraints)
+    by_kind: dict = {}
+    n_rows = 0
+    for cid, (c, w) in enumerate(zip(constraints, weights)):
+        for inst in c.lower():
+            spec = KERNELS[inst.kernel]
+            slot = by_kind.setdefault(inst.kernel, {"idx": [], "par": [], "w": [], "cid": []})
+            assert len(inst.var_ids) == spec.nvars, (inst.kernel, inst.var_ids)
+            assert len(inst.params) == spec.nparams, (inst.kernel, inst.params)
+            slot["idx"].append(inst.var_ids)
+            slot["par"].append(inst.params)
+            slot["w"].append(w)
+            slot["cid"].append(cid)
+            n_rows += spec.dim
+
+    blocks = []
+    for kernel_name in sorted(by_kind.keys()):
+        slot = by_kind[kernel_name]
+        spec = KERNELS[kernel_name]
+        nb = len(slot["idx"])
+        blocks.append(
+            KindBlock(
+                spec=spec,
+                idx=np.asarray(slot["idx"], dtype=np.int32).reshape(nb, spec.nvars),
+                par=np.asarray(slot["par"], dtype=np.float64).reshape(nb, spec.nparams)
+                .astype(dtype),
+                weight=np.asarray(slot["w"], dtype=np.float64).astype(dtype),
+                cid=np.asarray(slot["cid"], dtype=np.int32),
+            )
+        )
+
+    return CompiledSystem(
+        n_vars=n_vars,
+        n_constraints=len(constraints),
+        n_rows=n_rows,
+        blocks=tuple(blocks),
+        dtype=dtype,
+    )
+
+
+def topology_key(constraints: Sequence[Constraint], n_vars: int) -> tuple:
+    """A hashable key identifying the compiled topology (for jit caching)."""
+    items = []
+    for c in constraints:
+        for inst in c.lower():
+            items.append((inst.kernel, inst.var_ids, inst.params))
+    return (n_vars, tuple(items))

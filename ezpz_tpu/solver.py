@@ -1,0 +1,160 @@
+"""Levenberg-Marquardt solve as a jit-compiled ``lax.while_loop``.
+
+Reproduces the reference's iteration semantics exactly
+(``ezpz/src/solver/newton.rs:29-145``):
+
+* residual-tolerance check at the *top* of each iteration (inf-norm of the
+  weighted residual), returning ``iterations = k`` = number of steps taken;
+* damped normal equations ``(JtJ + lambda I) d = -Jt r`` solved by Cholesky;
+* a numeric factorization failure counts as a rejected step: ``lambda *= 10``
+  and continue (``newton.rs:96-99``);
+* a step is accepted iff it strictly reduces the squared residual norm;
+  accepted: ``lambda *= 0.1``; rejected: revert and ``lambda *= 10``;
+* step-size convergence check (inf-norm of d) at the *bottom*, also reporting
+  ``iterations = k`` (the index of the iteration that took the step);
+* hitting ``max_iterations`` reports ``converged = False``.
+
+The branchy accept/reject becomes ``jnp.where`` selects; Cholesky failure is
+detected by NaNs in the factor (XLA's potrf yields NaN on non-SPD input
+instead of raising, which is exactly the signal we need inside a traced loop).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import LM_LAMBDA_DECR, LM_LAMBDA_INCR
+from .models.compiled import CompiledSystem
+
+
+class LMState(NamedTuple):
+    x: jnp.ndarray
+    r: jnp.ndarray
+    r2: jnp.ndarray
+    lam: jnp.ndarray
+    it: jnp.ndarray
+    done: jnp.ndarray
+    converged: jnp.ndarray
+    iterations: jnp.ndarray
+    deg: jnp.ndarray  # (n_constraints,) bool — any degenerate eval during solve
+
+
+class LMResult(NamedTuple):
+    x: jnp.ndarray
+    iterations: jnp.ndarray
+    converged: jnp.ndarray
+    deg: jnp.ndarray
+    residual: jnp.ndarray  # weighted residual at the final x
+
+
+def solve_lm(
+    system: CompiledSystem,
+    x0: jnp.ndarray,
+    max_iterations: int,
+    residual_tolerance,
+    step_tolerance,
+    initial_lambda,
+) -> LMResult:
+    """Run the LM loop on one system. Pure and jit/vmap-compatible."""
+    dtype = system.dtype
+    n = system.n_vars
+    eye = jnp.eye(n, dtype=dtype)
+
+    r0, deg0 = system.residual_and_flags(x0)
+    # The initial eval also refreshes the Jacobian in the reference
+    # (newton.rs:45 -> eval -> refresh_jacobian); its degenerate flags match
+    # the residual's predicates for value-guarded kinds and are accumulated
+    # again on the first normal-equations eval below, so deg0 suffices here.
+    state = LMState(
+        x=x0.astype(dtype),
+        r=r0,
+        r2=jnp.sum(r0 * r0),
+        lam=jnp.asarray(initial_lambda, dtype),
+        it=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        converged=jnp.asarray(False),
+        iterations=jnp.asarray(0, jnp.int32),
+        deg=deg0,
+    )
+
+    rtol = jnp.asarray(residual_tolerance, dtype)
+    stol = jnp.asarray(step_tolerance, dtype)
+
+    def cond(s: LMState):
+        return jnp.logical_and(~s.done, s.it < max_iterations)
+
+    def body(s: LMState) -> LMState:
+        rinf = jnp.max(jnp.abs(s.r))
+        res_conv = rinf <= rtol
+        act = ~res_conv
+
+        _r, jtj, jtr, deg_j = system.normal_equations(s.x)
+        a = jtj + s.lam * eye
+        chol = jnp.linalg.cholesky(a)
+        fail = jnp.any(jnp.isnan(chol))
+        chol_safe = jnp.where(fail, eye, chol)
+        d = jax.scipy.linalg.cho_solve((chol_safe, True), -jtr)
+        d = jnp.where(fail, jnp.zeros_like(d), d)
+        step_inf = jnp.max(jnp.abs(d))
+
+        x_new = s.x + d
+        r_new, deg_r = system.residual_and_flags(x_new)
+        r2_new = jnp.sum(r_new * r_new)
+        accept = jnp.logical_and(~fail, r2_new < s.r2)
+
+        take = jnp.logical_and(act, accept)
+        x = jnp.where(take, x_new, s.x)
+        r = jnp.where(take, r_new, s.r)
+        r2 = jnp.where(take, r2_new, s.r2)
+        lam = jnp.where(
+            act,
+            jnp.where(accept, s.lam * LM_LAMBDA_DECR, s.lam * LM_LAMBDA_INCR),
+            s.lam,
+        )
+        deg = s.deg | jnp.where(act, deg_j | deg_r, jnp.zeros_like(deg_j))
+
+        step_conv = act & (~fail) & (step_inf <= stol)
+        done = res_conv | step_conv
+        iterations = jnp.where(done, s.it, s.iterations)
+        it = jnp.where(res_conv, s.it, s.it + 1)
+        return LMState(
+            x=x,
+            r=r,
+            r2=r2,
+            lam=lam,
+            it=it,
+            done=done,
+            converged=s.converged | done,
+            iterations=iterations,
+            deg=deg,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    iterations = jnp.where(final.done, final.iterations, jnp.asarray(max_iterations, jnp.int32))
+    return LMResult(
+        x=final.x,
+        iterations=iterations,
+        converged=final.converged,
+        deg=final.deg,
+        residual=final.r,
+    )
+
+
+def make_solver(system: CompiledSystem, max_iterations: int):
+    """A jitted solver for one compiled topology. Tolerances and lambda stay
+    dynamic so config tweaks don't recompile; max_iterations only bounds the
+    loop and is static."""
+
+    @partial(jax.jit, static_argnums=())
+    def run(x0, residual_tolerance, step_tolerance, initial_lambda):
+        res = solve_lm(
+            system, x0, max_iterations, residual_tolerance, step_tolerance, initial_lambda
+        )
+        sat = system.constraint_satisfaction(res.x)
+        return res, sat
+
+    return run

@@ -1,0 +1,15 @@
+"""Test configuration: run on CPU with a virtual 8-device mesh.
+
+The host's sitecustomize registers a remote-tunnel TPU PJRT plugin and
+force-selects it via jax.config, so the env var alone is not enough — we
+must override the config before any backend initializes.
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
