@@ -1,0 +1,83 @@
+"""Scenario batching: solve thousands of same-topology sketches at once.
+
+This is the TPU-shape of data parallelism for a constraint solver
+(SURVEY.md section 2): one compiled topology, ``vmap`` over initial guesses
+and per-sketch constraint parameters. Each sketch runs the exact
+reference-semantics LM loop (per-sketch lambda, accept/reject, convergence);
+``vmap`` of ``lax.while_loop`` runs until every sketch in the batch is done,
+with converged sketches predicated out.
+
+The reference has no equivalent — its closest artifact is the
+``massive_parallel_system`` fixture, 500 independent subsystems concatenated
+into one sparse matrix and solved serially (``README.md:37-41``). Here those
+become a batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config
+from .models.compiled import CompiledSystem
+from .solver import solve_lm
+
+
+@dataclass
+class BatchResult:
+    x: jnp.ndarray  # (B, n_vars)
+    iterations: jnp.ndarray  # (B,)
+    converged: jnp.ndarray  # (B,) bool
+    satisfied: jnp.ndarray  # (B, n_constraints) bool
+    degenerate: jnp.ndarray  # (B, n_constraints) bool
+
+
+class BatchSolver:
+    """A jit-compiled vmapped LM solver for one topology.
+
+    ``pars`` (optional) is a tuple of (B, n_k, np_k) arrays aligned with
+    ``system.blocks`` — per-sketch constraint parameters. Without it, all
+    sketches share the compile-time parameters and only guesses vary.
+    """
+
+    def __init__(self, system: CompiledSystem, config: Config = Config(),
+                 batch_params: bool = False):
+        self.system = system
+        self.config = config
+        self.batch_params = batch_params
+        max_iterations = config.max_iterations
+
+        if batch_params:
+            def one(x0, pars, rtol, stol, lam0):
+                res = solve_lm(system, x0, max_iterations, rtol, stol, lam0, pars=pars)
+                sat = system.constraint_satisfaction(res.x, pars)
+                return res, sat
+
+            self._run = jax.jit(
+                jax.vmap(one, in_axes=(0, 0, None, None, None))
+            )
+        else:
+            def one(x0, rtol, stol, lam0):
+                res = solve_lm(system, x0, max_iterations, rtol, stol, lam0)
+                sat = system.constraint_satisfaction(res.x)
+                return res, sat
+
+            self._run = jax.jit(jax.vmap(one, in_axes=(0, None, None, None)))
+
+    def solve(self, x0: jnp.ndarray, pars: Optional[Tuple] = None) -> BatchResult:
+        c = self.config
+        args = (x0,) + ((pars,) if self.batch_params else ())
+        res, sat = self._run(
+            *args, c.residual_tolerance, c.step_tolerance, c.initial_lambda
+        )
+        return BatchResult(
+            x=res.x,
+            iterations=res.iterations,
+            converged=res.converged,
+            satisfied=sat,
+            degenerate=res.deg,
+        )

@@ -62,30 +62,39 @@ class CompiledSystem:
     dtype: jnp.dtype = jnp.float64
 
     # -- evaluation ----------------------------------------------------------
+    #
+    # Every method takes an optional ``pars`` override: a tuple of (n, np)
+    # arrays aligned with ``self.blocks``. With ``pars=None`` the compile-time
+    # parameters are baked in as constants; passing ``pars`` makes parameters
+    # dynamic inputs so one compiled solver serves a whole fleet of sketches
+    # sharing a topology (the scenario-batching path).
 
-    def residual(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _pars(self, pars, i):
+        return self.blocks[i].par if pars is None else pars[i]
+
+    def residual(self, x: jnp.ndarray, pars=None) -> jnp.ndarray:
         """Weighted global residual, shape (n_rows,). Matches the reference's
         ``Model::residual`` (``solver.rs:318-356``) up to row ordering."""
         parts = []
-        for b in self.blocks:
-            res, _deg = jax.vmap(b.spec.fn)(x[b.idx], b.par)
+        for i, b in enumerate(self.blocks):
+            res, _deg = jax.vmap(b.spec.fn)(x[b.idx], self._pars(pars, i))
             parts.append((res * b.weight[:, None]).reshape(-1))
         return jnp.concatenate(parts) if parts else jnp.zeros((0,), self.dtype)
 
-    def residual_and_flags(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def residual_and_flags(self, x: jnp.ndarray, pars=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(weighted residual (n_rows,), per-constraint degenerate flags
         (n_constraints,) bool)."""
         parts = []
         deg_acc = jnp.zeros((self.n_constraints,), jnp.bool_)
-        for b in self.blocks:
-            res, deg = jax.vmap(b.spec.fn)(x[b.idx], b.par)
+        for i, b in enumerate(self.blocks):
+            res, deg = jax.vmap(b.spec.fn)(x[b.idx], self._pars(pars, i))
             parts.append((res * b.weight[:, None]).reshape(-1))
             deg_acc = deg_acc.at[b.cid].max(deg)
         r = jnp.concatenate(parts) if parts else jnp.zeros((0,), self.dtype)
         return r, deg_acc
 
     def normal_equations(
-        self, x: jnp.ndarray
+        self, x: jnp.ndarray, pars=None
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Evaluate r(x), JtJ, Jtr, and per-constraint degenerate flags.
 
@@ -98,11 +107,11 @@ class CompiledSystem:
         jtr = jnp.zeros((n,), self.dtype)
         parts = []
         deg_acc = jnp.zeros((self.n_constraints,), jnp.bool_)
-        for b in self.blocks:
+        for i, b in enumerate(self.blocks):
             v = x[b.idx]  # (nb, nv)
             jac, (res, deg) = jax.vmap(
                 lambda vv, pp, fn=b.spec.fn: _jac_with_value(fn, vv, pp)
-            )(v, b.par)
+            )(v, self._pars(pars, i))
             wres = res * b.weight[:, None]  # (nb, dim)
             wjac = jac * b.weight[:, None, None]  # (nb, dim, nv)
             contrib = jnp.einsum("ndk,ndl->nkl", wjac, wjac)
@@ -113,17 +122,17 @@ class CompiledSystem:
         r = jnp.concatenate(parts) if parts else jnp.zeros((0,), self.dtype)
         return r, jtj, jtr, deg_acc
 
-    def jacobian_dense(self, x: jnp.ndarray) -> jnp.ndarray:
+    def jacobian_dense(self, x: jnp.ndarray, pars=None) -> jnp.ndarray:
         """Weighted dense Jacobian, shape (n_rows, n_vars). Used by the
         freedom (DoF) analysis; row order is the compiled row order."""
         J = jnp.zeros((self.n_rows, self.n_vars), self.dtype)
         row = 0
-        for b in self.blocks:
+        for i, b in enumerate(self.blocks):
             nb = int(b.idx.shape[0])
             dim = b.spec.dim
             jac, (_res, _deg) = jax.vmap(
                 lambda vv, pp, fn=b.spec.fn: _jac_with_value(fn, vv, pp)
-            )(x[b.idx], b.par)
+            )(x[b.idx], self._pars(pars, i))
             wjac = jac * b.weight[:, None, None]  # (nb, dim, nv)
             rows = row + (
                 jnp.arange(nb, dtype=jnp.int32)[:, None] * dim
@@ -133,15 +142,20 @@ class CompiledSystem:
             row += nb * dim
         return J
 
-    def constraint_satisfaction(self, x: jnp.ndarray) -> jnp.ndarray:
+    def constraint_satisfaction(self, x: jnp.ndarray, pars=None) -> jnp.ndarray:
         """Per-constraint satisfaction: max |unweighted residual row| < 1e-4
         (``ezpz/src/lib.rs:307-327,358-370``). Returns (n_constraints,) bool."""
         worst = jnp.zeros((self.n_constraints,), self.dtype)
-        for b in self.blocks:
-            res, _deg = jax.vmap(b.spec.fn)(x[b.idx], b.par)
+        for i, b in enumerate(self.blocks):
+            res, _deg = jax.vmap(b.spec.fn)(x[b.idx], self._pars(pars, i))
             inst_max = jnp.max(jnp.abs(res), axis=1)  # unweighted
             worst = worst.at[b.cid].max(inst_max)
         return worst < EPSILON
+
+    def param_arrays(self) -> Tuple[np.ndarray, ...]:
+        """The compile-time parameter arrays, aligned with ``blocks`` — the
+        template for building batched ``pars`` overrides."""
+        return tuple(b.par for b in self.blocks)
 
 
 def _jac_with_value(fn, v, p):

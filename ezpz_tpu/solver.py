@@ -58,13 +58,17 @@ def solve_lm(
     residual_tolerance,
     step_tolerance,
     initial_lambda,
+    pars=None,
 ) -> LMResult:
-    """Run the LM loop on one system. Pure and jit/vmap-compatible."""
+    """Run the LM loop on one system. Pure and jit/vmap-compatible.
+
+    ``pars`` optionally overrides the per-block parameter arrays (dynamic
+    parameters for the fleet-batching path)."""
     dtype = system.dtype
     n = system.n_vars
     eye = jnp.eye(n, dtype=dtype)
 
-    r0, deg0 = system.residual_and_flags(x0)
+    r0, deg0 = system.residual_and_flags(x0, pars)
     # The initial eval also refreshes the Jacobian in the reference
     # (newton.rs:45 -> eval -> refresh_jacobian); its degenerate flags match
     # the residual's predicates for value-guarded kinds and are accumulated
@@ -92,7 +96,7 @@ def solve_lm(
         res_conv = rinf <= rtol
         act = ~res_conv
 
-        _r, jtj, jtr, deg_j = system.normal_equations(s.x)
+        _r, jtj, jtr, deg_j = system.normal_equations(s.x, pars)
         a = jtj + s.lam * eye
         chol = jnp.linalg.cholesky(a)
         fail = jnp.any(jnp.isnan(chol))
@@ -102,7 +106,7 @@ def solve_lm(
         step_inf = jnp.max(jnp.abs(d))
 
         x_new = s.x + d
-        r_new, deg_r = system.residual_and_flags(x_new)
+        r_new, deg_r = system.residual_and_flags(x_new, pars)
         r2_new = jnp.sum(r_new * r_new)
         accept = jnp.logical_and(~fail, r2_new < s.r2)
 
