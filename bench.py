@@ -1,0 +1,98 @@
+"""Headline benchmark: massive_parallel_system solve throughput.
+
+Solves M independent copies of the reference's massive_parallel_system
+fixture (600 blocks x 4 vars = 2400 vars, 2400 eqs) per jitted call, batched
+along the component axis (600*M sketches), in float64 to the reference's
+1e-8 residual tolerance. Prints one JSON line:
+
+    {"metric": ..., "value": N, "unit": "solves/sec", "vs_baseline": N}
+
+Baseline: the reference solves this fixture at 339 solves/sec on a dev
+machine (README.md:37-41; 2,943 us/solve, 2 LM iterations).
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE_SOLVES_PER_SEC = 339.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import ezpz_tpu  # noqa: F401  (x64 on)
+    from ezpz_tpu.batch import BatchSolver
+    from ezpz_tpu.config import Config
+    from ezpz_tpu.models.blocks import build_buckets
+    from ezpz_tpu.textual import Problem
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    fixture = os.path.join(here, "tests", "cases", "massive_parallel_system", "problem.md")
+    txt = open(fixture).read()
+    cs = Problem.from_str(txt).to_constraint_system()
+    constraints = [r.constraint for r in cs.constraints]
+    x0 = np.zeros(len(cs.initial_guesses))
+    for vid, val in cs.initial_guesses:
+        x0[vid] = val
+    n_vars = len(x0)
+
+    # Decompose the fixture into its component blocks and batch M copies of
+    # the whole system along the component axis.
+    buckets = build_buckets(constraints, n_vars)
+    M = int(os.environ.get("BENCH_COPIES", "64"))
+
+    solvers = []
+    for bucket in buckets:
+        solver = BatchSolver(bucket.system, Config(), batch_params=True)
+        x0b = np.tile(x0[bucket.var_index], (M, 1))
+        pars = tuple(jnp.asarray(np.tile(p, (M, 1, 1))) for p in bucket.pars)
+        solvers.append((solver, jnp.asarray(x0b), pars))
+
+    def run_once():
+        outs = [s.solve(xb, pb) for s, xb, pb in solvers]
+        for o in outs:
+            jax.block_until_ready(o.x)
+        return outs
+
+    # Warm up (compile) + correctness gate.
+    outs = run_once()
+    ok = all(bool(np.asarray(o.converged).all()) for o in outs)
+    sat = all(bool(np.asarray(o.satisfied).all()) for o in outs)
+    iters = max(int(np.asarray(o.iterations).max()) for o in outs)
+    if not (ok and sat):
+        print(json.dumps({"metric": "massive_parallel_system_solves_per_sec",
+                          "value": 0.0, "unit": "solves/sec", "vs_baseline": 0.0,
+                          "error": "did not converge/satisfy"}))
+        return 1
+
+    # Timed region.
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        run_once()
+    dt = (time.perf_counter() - t0) / reps
+    solves_per_sec = M / dt
+
+    print(json.dumps({
+        "metric": "massive_parallel_system_solves_per_sec",
+        "value": round(solves_per_sec, 1),
+        "unit": "solves/sec",
+        "vs_baseline": round(solves_per_sec / BASELINE_SOLVES_PER_SEC, 3),
+        "detail": {
+            "system": "2400 vars / 2400 eqs x %d copies" % M,
+            "dtype": "float64",
+            "residual_tolerance": 1e-8,
+            "lm_iterations": iters,
+            "device": str(jax.devices()[0]),
+            "sketch_solves_per_sec": round(solves_per_sec * 600, 0),
+        },
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,96 @@
+"""Fleet data-parallelism: shard a batch of independent sketches over devices.
+
+The batch axis of ``BatchSolver`` is embarrassingly parallel — each sketch's
+LM loop is independent — so the only communication is the initial scatter and
+final gather. We lay the batch out with a ``NamedSharding`` over a 1-D mesh
+and jit the vmapped solver; XLA partitions everything along the batch axis
+with zero collectives in the hot loop.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..batch import BatchResult
+from ..config import Config
+from ..models.compiled import CompiledSystem
+from ..solver import solve_lm
+
+
+class FleetSolver:
+    """Solve B same-topology sketches sharded across a device mesh.
+
+    B must be divisible by the mesh size (pad the fleet if needed).
+    """
+
+    def __init__(
+        self,
+        system: CompiledSystem,
+        mesh: Optional[Mesh] = None,
+        config: Config = Config(),
+        batch_params: bool = False,
+    ):
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), ("batch",))
+        self.mesh = mesh
+        self.system = system
+        self.config = config
+        self.batch_params = batch_params
+        max_iterations = config.max_iterations
+
+        batch_sharding = NamedSharding(mesh, P("batch"))
+        scalar_sharding = NamedSharding(mesh, P())
+
+        if batch_params:
+            def one(x0, pars, rtol, stol, lam0):
+                res = solve_lm(system, x0, max_iterations, rtol, stol, lam0, pars=pars)
+                sat = system.constraint_satisfaction(res.x, pars)
+                return res, sat
+
+            vm = jax.vmap(one, in_axes=(0, 0, None, None, None))
+            n_blocks = len(system.blocks)
+            self._run = jax.jit(
+                vm,
+                in_shardings=(
+                    batch_sharding,
+                    tuple(batch_sharding for _ in range(n_blocks)),
+                    scalar_sharding,
+                    scalar_sharding,
+                    scalar_sharding,
+                ),
+            )
+        else:
+            def one(x0, rtol, stol, lam0):
+                res = solve_lm(system, x0, max_iterations, rtol, stol, lam0)
+                sat = system.constraint_satisfaction(res.x)
+                return res, sat
+
+            vm = jax.vmap(one, in_axes=(0, None, None, None))
+            self._run = jax.jit(
+                vm,
+                in_shardings=(
+                    batch_sharding,
+                    scalar_sharding,
+                    scalar_sharding,
+                    scalar_sharding,
+                ),
+            )
+
+    def solve(self, x0: jnp.ndarray, pars: Optional[Tuple] = None) -> BatchResult:
+        c = self.config
+        args = (x0,) + ((pars,) if self.batch_params else ())
+        res, sat = self._run(
+            *args, c.residual_tolerance, c.step_tolerance, c.initial_lambda
+        )
+        return BatchResult(
+            x=res.x,
+            iterations=res.iterations,
+            converged=res.converged,
+            satisfied=sat,
+            degenerate=res.deg,
+        )

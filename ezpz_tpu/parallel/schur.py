@@ -1,0 +1,463 @@
+"""Sharded single-system solve via Schur-complement reduction.
+
+The TPU-shape of model parallelism for a constraint solver (SURVEY.md
+section 2): partition the variable vector across a 1-D device mesh, keep the
+(few) variables touched by cross-partition constraints in a replicated
+boundary set B, and solve the damped normal equations per LM iteration with
+a Schur complement:
+
+    A = [[A_II, A_IB],    A_II block-diagonal across devices (interiors),
+         [A_BI, A_BB]]    B replicated
+
+    per device i:  W_i = A_ii^-1 A_ib,  u_i = A_ii^-1 b_i
+    S    = psum(A_bb_part - A_ib^T W_i) + lambda*I     (ICI all-reduce)
+    x_b  = S^-1 (psum(b_b_part - A_ib^T u_i))          (replicated solve)
+    x_i  = A_ii^-1 (b_i - A_ib x_b)                    (local back-subst)
+
+Everything runs under ``shard_map`` in one jitted LM ``while_loop``;
+accept/reject and convergence use psum/pmax so every device takes identical
+branches. Communication per iteration: one psum of an (n_b+1, n_b+1)-ish
+packet — independent of interior size.
+
+Constraints whose variables span partitions ("coupling constraints") only
+ever touch boundary variables by construction, and are distributed
+round-robin across devices for load balance.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import LM_LAMBDA_DECR, LM_LAMBDA_INCR, Config
+from ..constraints import Constraint
+from ..models.compiled import EPSILON
+from ..ops.kernels import KERNELS
+
+
+# ---------------------------------------------------------------------------
+# Partitioning + padded per-device compilation
+
+
+@dataclass
+class ShardedLayout:
+    n_vars: int
+    n_devices: int
+    interior: List[List[int]]  # per device, global ids (unpadded)
+    boundary: List[int]  # global ids, replicated
+    n_i: int  # padded interior size
+    n_b: int
+    # per device: local slot -> global id (padded slots map to -1)
+    local_to_global: np.ndarray  # (D, n_i + n_b)
+
+
+def partition_variables(
+    constraints: Sequence[Constraint], n_vars: int, n_devices: int,
+    block_of_var: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, List[int]]:
+    """Home device per variable (contiguous ranges by default) and the
+    boundary set: every variable touched by a constraint spanning devices."""
+    if block_of_var is None:
+        block_of_var = np.minimum(
+            np.arange(n_vars) * n_devices // max(n_vars, 1), n_devices - 1
+        )
+    block_of_var = np.asarray(block_of_var)
+    boundary: set = set()
+    for c in constraints:
+        ids = c.dependent_variable_ids()
+        homes = {int(block_of_var[v]) for v in ids}
+        if len(homes) > 1:
+            boundary.update(ids)
+    return block_of_var, sorted(boundary)
+
+
+@dataclass
+class _StackedBlock:
+    spec: object
+    idx: np.ndarray  # (D, n, k) int32 local indices
+    par: np.ndarray  # (D, n, p)
+    weight: np.ndarray  # (D, n)
+    cid: np.ndarray  # (D, n) local constraint slot (dummy -> n_cons_max)
+
+
+class ShardedSchurSolver:
+    def __init__(
+        self,
+        constraints: Sequence[Constraint],
+        n_vars: int,
+        mesh: Optional[Mesh] = None,
+        weights: Optional[Sequence[float]] = None,
+        config: Config = Config(),
+        block_of_var: Optional[np.ndarray] = None,
+        dtype=jnp.float64,
+    ):
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), ("d",))
+        self.mesh = mesh
+        D = mesh.devices.size
+        self.config = config
+        self.dtype = dtype
+        self.n_vars = n_vars
+        self.n_constraints = len(constraints)
+        if weights is None:
+            weights = [1.0] * len(constraints)
+
+        block_of_var, boundary = partition_variables(
+            constraints, n_vars, D, block_of_var
+        )
+        bset = set(boundary)
+        interior = [
+            [v for v in range(n_vars) if block_of_var[v] == d and v not in bset]
+            for d in range(D)
+        ]
+        n_i = max((len(iv) for iv in interior), default=0)
+        n_b = len(boundary)
+        self.n_i, self.n_b = n_i, n_b
+
+        # Local index maps.
+        local_to_global = -np.ones((D, n_i + n_b), dtype=np.int64)
+        global_to_local = [dict() for _ in range(D)]
+        for d in range(D):
+            for i, g in enumerate(interior[d]):
+                local_to_global[d, i] = g
+                global_to_local[d][g] = i
+            for j, g in enumerate(boundary):
+                local_to_global[d, n_i + j] = g
+                global_to_local[d][g] = n_i + j
+        self.layout = ShardedLayout(
+            n_vars=n_vars, n_devices=D, interior=interior, boundary=boundary,
+            n_i=n_i, n_b=n_b, local_to_global=local_to_global,
+        )
+
+        # Home each constraint: local constraints to their variables' device,
+        # coupling constraints round-robin.
+        per_device: List[List[int]] = [[] for _ in range(D)]
+        rr = 0
+        for cid, c in enumerate(constraints):
+            ids = c.dependent_variable_ids()
+            homes = {int(block_of_var[v]) for v in ids}
+            if len(homes) == 1 and not set(ids) <= bset:
+                per_device[homes.pop()].append(cid)
+            elif len(homes) == 1:
+                # Touches only boundary vars but within one home: still local.
+                per_device[homes.pop()].append(cid)
+            else:
+                per_device[rr % D].append(cid)
+                rr += 1
+
+        n_cons_max = max((len(p) for p in per_device), default=0)
+        self.n_cons_max = n_cons_max
+        # Map (device, local constraint slot) -> global cid (-1 for padding).
+        self.cons_map = -np.ones((D, n_cons_max), dtype=np.int64)
+        for d in range(D):
+            for s, cid in enumerate(per_device[d]):
+                self.cons_map[d, s] = cid
+
+        # Lower per device, grouped by kind; then pad to uniform counts.
+        per_dev_kinds: List[Dict[str, dict]] = []
+        for d in range(D):
+            slots: Dict[str, dict] = {}
+            for s, cid in enumerate(per_device[d]):
+                for inst in constraints[cid].lower():
+                    spec = KERNELS[inst.kernel]
+                    kslot = slots.setdefault(
+                        inst.kernel, {"idx": [], "par": [], "w": [], "cid": []}
+                    )
+                    kslot["idx"].append(
+                        tuple(global_to_local[d][v] for v in inst.var_ids)
+                    )
+                    kslot["par"].append(inst.params)
+                    kslot["w"].append(weights[cid])
+                    kslot["cid"].append(s)
+            per_dev_kinds.append(slots)
+
+        all_kinds = sorted({k for slots in per_dev_kinds for k in slots})
+        self.blocks: List[_StackedBlock] = []
+        for kind in all_kinds:
+            spec = KERNELS[kind]
+            n_max = max(len(per_dev_kinds[d].get(kind, {"idx": []})["idx"]) for d in range(D))
+            idx = np.zeros((D, n_max, spec.nvars), dtype=np.int32)
+            par = np.zeros((D, n_max, spec.nparams), dtype=np.float64)
+            wgt = np.zeros((D, n_max), dtype=np.float64)  # dummies weight 0
+            cid = np.full((D, n_max), n_cons_max, dtype=np.int32)  # dummy slot
+            for d in range(D):
+                kslot = per_dev_kinds[d].get(kind)
+                if not kslot:
+                    continue
+                n = len(kslot["idx"])
+                if n:
+                    idx[d, :n] = np.asarray(kslot["idx"], dtype=np.int32)
+                    par[d, :n] = np.asarray(kslot["par"], dtype=np.float64).reshape(
+                        n, spec.nparams
+                    )
+                    wgt[d, :n] = kslot["w"]
+                    cid[d, :n] = kslot["cid"]
+            self.blocks.append(_StackedBlock(spec, idx, par, wgt, cid))
+
+        # Padded-interior mask: 1.0 on real slots, 0.0 on padding.
+        self.interior_mask = np.zeros((D, n_i), dtype=np.float64)
+        for d in range(D):
+            self.interior_mask[d, : len(interior[d])] = 1.0
+
+        self._build_solver()
+
+    # -- device-side evaluation over local x ------------------------------
+
+    def _local_eval(self, x_local, blocks_dev, want_jac: bool):
+        """Residual (+ JtJ/Jtr) over this device's constraints.
+
+        ``x_local``: (n_i + n_b,). ``blocks_dev``: per-block (idx, par, w, cid)
+        with the device axis already sliced off.
+        """
+        n_local = self.n_i + self.n_b
+        n_slots = self.n_cons_max + 1
+        r2 = jnp.zeros((), self.dtype)
+        rinf = jnp.zeros((), self.dtype)
+        deg = jnp.zeros((n_slots,), jnp.bool_)
+        worst = jnp.zeros((n_slots,), self.dtype)
+        jtj = jnp.zeros((n_local, n_local), self.dtype) if want_jac else None
+        jtr = jnp.zeros((n_local,), self.dtype) if want_jac else None
+        for blk, (idx, par, w, cid) in zip(self.blocks, blocks_dev):
+            fn = blk.spec.fn
+            v = x_local[idx]
+            if want_jac:
+                def jac_val(vv, pp, fn=fn):
+                    def wrapped(z):
+                        res, dg = fn(z, pp)
+                        return res, (res, dg)
+                    return jax.jacfwd(wrapped, has_aux=True)(vv)
+
+                jac, (res, dg) = jax.vmap(jac_val)(v, par)
+                wjac = jac * w[:, None, None]
+                wres = res * w[:, None]
+                jtj = jtj.at[idx[:, :, None], idx[:, None, :]].add(
+                    jnp.einsum("ndk,ndl->nkl", wjac, wjac)
+                )
+                jtr = jtr.at[idx].add(jnp.einsum("ndk,nd->nk", wjac, wres))
+            else:
+                res, dg = jax.vmap(fn)(v, par)
+                wres = res * w[:, None]
+            r2 = r2 + jnp.sum(wres * wres)
+            rinf = jnp.maximum(rinf, jnp.max(jnp.abs(wres)) if wres.size else 0.0)
+            live = w > 0
+            deg = deg.at[cid].max(dg & live)
+            worst = worst.at[cid].max(jnp.max(jnp.abs(res), axis=1) * live)
+        return r2, rinf, deg, worst, jtj, jtr
+
+    def _build_solver(self):
+        mesh = self.mesh
+        n_i, n_b = self.n_i, self.n_b
+        dtype = self.dtype
+        max_iterations = self.config.max_iterations
+        imask = jnp.asarray(self.interior_mask)  # (D, n_i)
+
+        block_arrays = tuple(
+            (jnp.asarray(b.idx), jnp.asarray(b.par), jnp.asarray(b.weight),
+             jnp.asarray(b.cid))
+            for b in self.blocks
+        )
+
+        def device_fn(x_i, x_b, imask_d, blocks_dev, rtol, stol, lam0):
+            # Shapes inside shard_map: x_i (1, n_i), x_b (n_b,), blocks (1, ...).
+            x_i = x_i[0]
+            imask_d = imask_d[0]
+            blocks_dev = tuple(
+                (idx[0], par[0], w[0], cid[0]) for idx, par, w, cid in blocks_dev
+            )
+
+            def x_local(xi, xb):
+                return jnp.concatenate([xi, xb])
+
+            def global_r2_rinf(xi, xb):
+                r2, rinf, deg, worst, _, _ = self._local_eval(
+                    x_local(xi, xb), blocks_dev, want_jac=False
+                )
+                return (
+                    jax.lax.psum(r2, "d"),
+                    jax.lax.pmax(rinf, "d"),
+                    deg,
+                    worst,
+                )
+
+            r2_0, rinf_0, deg0, _w0, _, _ = None, None, None, None, None, None
+            r2_0, rinf_0, deg0, _worst0 = global_r2_rinf(x_i, x_b)
+
+            eye_i = jnp.eye(n_i, dtype=dtype)
+            eye_b = jnp.eye(n_b, dtype=dtype)
+            pad_diag = (1.0 - imask_d) * eye_i  # unit diagonal on padded slots
+
+            state = dict(
+                x_i=x_i,
+                x_b=x_b,
+                r2=r2_0,
+                rinf=rinf_0,
+                lam=jnp.asarray(lam0, dtype),
+                it=jnp.asarray(0, jnp.int32),
+                done=jnp.asarray(False),
+                converged=jnp.asarray(False),
+                iterations=jnp.asarray(0, jnp.int32),
+                deg=deg0,
+            )
+
+            def cond(s):
+                return jnp.logical_and(~s["done"], s["it"] < max_iterations)
+
+            def body(s):
+                res_conv = s["rinf"] <= rtol
+                act = ~res_conv
+
+                _r2, _ri, deg_j, _w, jtj, jtr = self._local_eval(
+                    x_local(s["x_i"], s["x_b"]), blocks_dev, want_jac=True
+                )
+                b_i = -jtr[:n_i]
+                b_b = -jtr[n_i:]
+                a_ii = jtj[:n_i, :n_i] + s["lam"] * eye_i * imask_d[None, :] + pad_diag
+                a_ib = jtj[:n_i, n_i:]
+                a_bb_part = jtj[n_i:, n_i:]
+
+                li = jnp.linalg.cholesky(a_ii)
+                fail_i = jnp.any(jnp.isnan(li))
+                li_safe = jnp.where(fail_i, eye_i, li)
+                u = jax.scipy.linalg.cho_solve((li_safe, True), b_i)
+
+                if n_b:
+                    w_mat = jax.scipy.linalg.cho_solve((li_safe, True), a_ib)
+                    s_part = a_bb_part - a_ib.T @ w_mat
+                    rhs_part = b_b - a_ib.T @ u
+                    s_mat = jax.lax.psum(s_part, "d") + s["lam"] * eye_b
+                    rhs = jax.lax.psum(rhs_part, "d")
+                    ls = jnp.linalg.cholesky(s_mat)
+                    fail_b = jnp.any(jnp.isnan(ls))
+                    ls_safe = jnp.where(fail_b, eye_b, ls)
+                    d_b = jax.scipy.linalg.cho_solve((ls_safe, True), rhs)
+                    d_i = jax.scipy.linalg.cho_solve((li_safe, True), b_i - a_ib @ d_b)
+                    step_inf_b = jnp.max(jnp.abs(d_b))
+                else:
+                    fail_b = jnp.asarray(False)
+                    d_b = jnp.zeros((0,), dtype)
+                    d_i = u
+                    step_inf_b = jnp.zeros((), dtype)
+                d_i = d_i * imask_d
+
+                fail = jax.lax.pmax(
+                    jnp.maximum(fail_i.astype(jnp.int32), fail_b.astype(jnp.int32)), "d"
+                ) > 0
+                d_i = jnp.where(fail, jnp.zeros_like(d_i), d_i)
+                d_b = jnp.where(fail, jnp.zeros_like(d_b), d_b)
+                step_inf = jax.lax.pmax(
+                    jnp.maximum(jnp.max(jnp.abs(d_i)), step_inf_b), "d"
+                )
+
+                x_i_new = s["x_i"] + d_i
+                x_b_new = s["x_b"] + d_b
+                r2_new, rinf_new, deg_r, _wn = global_r2_rinf(x_i_new, x_b_new)
+                accept = jnp.logical_and(~fail, r2_new < s["r2"])
+                take = jnp.logical_and(act, accept)
+
+                out = dict(s)
+                out["x_i"] = jnp.where(take, x_i_new, s["x_i"])
+                out["x_b"] = jnp.where(take, x_b_new, s["x_b"])
+                out["r2"] = jnp.where(take, r2_new, s["r2"])
+                out["rinf"] = jnp.where(take, rinf_new, s["rinf"])
+                out["lam"] = jnp.where(
+                    act,
+                    jnp.where(accept, s["lam"] * LM_LAMBDA_DECR, s["lam"] * LM_LAMBDA_INCR),
+                    s["lam"],
+                )
+                out["deg"] = s["deg"] | jnp.where(act, deg_j | deg_r, jnp.zeros_like(deg_j))
+                step_conv = act & (~fail) & (step_inf <= stol)
+                done = res_conv | step_conv
+                out["done"] = done
+                out["converged"] = s["converged"] | done
+                out["iterations"] = jnp.where(done, s["it"], s["iterations"])
+                out["it"] = jnp.where(res_conv, s["it"], s["it"] + 1)
+                return out
+
+            final = jax.lax.while_loop(cond, body, state)
+            iterations = jnp.where(
+                final["done"], final["iterations"], jnp.asarray(max_iterations, jnp.int32)
+            )
+            # Final satisfaction check (unweighted residuals, EPSILON).
+            _r2f, _rf, _degf, worst_f = global_r2_rinf(final["x_i"], final["x_b"])
+            sat = worst_f < EPSILON
+            return (
+                final["x_i"][None, :],
+                final["x_b"],
+                iterations,
+                final["converged"],
+                final["deg"][None, :],
+                sat[None, :],
+            )
+
+        try:
+            from jax import shard_map
+            _rep_kw = {"check_vma": False}
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+            _rep_kw = {"check_rep": False}
+
+        n_blk = len(self.blocks)
+        blk_specs = tuple((P("d"), P("d"), P("d"), P("d")) for _ in range(n_blk))
+        sharded = shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(P("d"), P(), P("d"), blk_specs, P(), P(), P()),
+            out_specs=(P("d"), P(), P(), P(), P("d"), P("d")),
+            **_rep_kw,
+        )
+        self._block_arrays = block_arrays
+        self._imask = imask
+        self._sharded = jax.jit(sharded)
+
+    def solve(self, x0: np.ndarray):
+        c = self.config
+        D = self.layout.n_devices
+        x_i0 = np.zeros((D, self.n_i))
+        for d in range(D):
+            ids = self.layout.interior[d]
+            x_i0[d, : len(ids)] = x0[ids]
+        x_b0 = np.asarray(
+            [x0[g] for g in self.layout.boundary], dtype=np.float64
+        ) if self.n_b else np.zeros((0,))
+
+        x_i, x_b, iterations, converged, deg, sat = self._sharded(
+            jnp.asarray(x_i0),
+            jnp.asarray(x_b0),
+            self._imask,
+            self._block_arrays,
+            c.residual_tolerance,
+            c.step_tolerance,
+            c.initial_lambda,
+        )
+        x_out = np.array(x0, dtype=np.float64)
+        x_i = np.asarray(x_i)
+        for d in range(D):
+            ids = self.layout.interior[d]
+            x_out[ids] = x_i[d, : len(ids)]
+        x_out[self.layout.boundary] = np.asarray(x_b)
+
+        satisfied = np.ones(self.n_constraints, dtype=bool)
+        degenerate = np.zeros(self.n_constraints, dtype=bool)
+        sat = np.asarray(sat)
+        deg = np.asarray(deg)
+        for d in range(D):
+            for s_, cid in enumerate(self.cons_map[d]):
+                if cid >= 0:
+                    satisfied[cid] = sat[d, s_]
+                    degenerate[cid] = deg[d, s_]
+        return dict(
+            x=x_out,
+            iterations=int(iterations),
+            converged=bool(converged),
+            satisfied=satisfied,
+            degenerate=degenerate,
+            n_boundary=self.n_b,
+            n_interior=self.n_i,
+        )
