@@ -148,6 +148,82 @@ def solve_lm(
     )
 
 
+def solve_gauss_newton(
+    system: CompiledSystem,
+    x0: jnp.ndarray,
+    max_iterations: int,
+    residual_tolerance,
+    step_tolerance,
+    initial_lambda,
+    pars=None,
+) -> LMResult:
+    """Plain damped Gauss-Newton with a *fixed* damping parameter — the
+    reference retains this variant alongside LM (``newton.rs:150-228``).
+    No accept/reject: every step is taken."""
+    dtype = system.dtype
+    n = system.n_vars
+    eye = jnp.eye(n, dtype=dtype)
+    lam = jnp.asarray(initial_lambda, dtype)
+    rtol = jnp.asarray(residual_tolerance, dtype)
+    stol = jnp.asarray(step_tolerance, dtype)
+
+    r0, deg0 = system.residual_and_flags(x0, pars)
+    state = LMState(
+        x=x0.astype(dtype),
+        r=r0,
+        r2=jnp.sum(r0 * r0),
+        lam=lam,
+        it=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        converged=jnp.asarray(False),
+        iterations=jnp.asarray(0, jnp.int32),
+        deg=deg0,
+    )
+
+    def cond(s: LMState):
+        return jnp.logical_and(~s.done, s.it < max_iterations)
+
+    def body(s: LMState) -> LMState:
+        r, jtj, jtr, deg_j = system.normal_equations(s.x, pars)
+        res_conv = jnp.max(jnp.abs(r)) <= rtol
+        act = ~res_conv
+
+        a = jtj + lam * eye
+        chol = jnp.linalg.cholesky(a)
+        fail = jnp.any(jnp.isnan(chol))
+        chol_safe = jnp.where(fail, eye, chol)
+        d = jax.scipy.linalg.cho_solve((chol_safe, True), -jtr)
+        d = jnp.where(fail, jnp.zeros_like(d), d)
+        step_inf = jnp.max(jnp.abs(d))
+
+        x = jnp.where(act, s.x + d, s.x)
+        deg = s.deg | jnp.where(act, deg_j, jnp.zeros_like(deg_j))
+        step_conv = act & (step_inf <= stol)
+        done = res_conv | step_conv
+        return LMState(
+            x=x,
+            r=s.r,
+            r2=s.r2,
+            lam=lam,
+            it=jnp.where(res_conv, s.it, s.it + 1),
+            done=done,
+            converged=s.converged | done,
+            iterations=jnp.where(done, s.it, s.iterations),
+            deg=deg,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    iterations = jnp.where(final.done, final.iterations, jnp.asarray(max_iterations, jnp.int32))
+    r_final = system.residual(final.x, pars)
+    return LMResult(
+        x=final.x,
+        iterations=iterations,
+        converged=final.converged,
+        deg=final.deg,
+        residual=r_final,
+    )
+
+
 def make_solver(system: CompiledSystem, max_iterations: int):
     """A jitted solver for one compiled topology. Tolerances and lambda stay
     dynamic so config tweaks don't recompile; max_iterations only bounds the
