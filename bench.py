@@ -43,7 +43,7 @@ def main():
     # Decompose the fixture into its component blocks and batch M copies of
     # the whole system along the component axis.
     buckets = build_buckets(constraints, n_vars)
-    M = int(os.environ.get("BENCH_COPIES", "64"))
+    M = int(os.environ.get("BENCH_COPIES", "16384"))
 
     solvers = []
     for bucket in buckets:
@@ -54,8 +54,10 @@ def main():
 
     def run_once():
         outs = [s.solve(xb, pb) for s, xb, pb in solvers]
+        # Force full materialization on host: with a remote-tunnel backend,
+        # block_until_ready alone does not guarantee execution finished.
         for o in outs:
-            jax.block_until_ready(o.x)
+            float(jnp.sum(o.x))
         return outs
 
     # Warm up (compile) + correctness gate.
@@ -70,7 +72,7 @@ def main():
         return 1
 
     # Timed region.
-    reps = int(os.environ.get("BENCH_REPS", "5"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     t0 = time.perf_counter()
     for _ in range(reps):
         run_once()

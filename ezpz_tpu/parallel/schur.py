@@ -40,6 +40,7 @@ from ..config import LM_LAMBDA_DECR, LM_LAMBDA_INCR, Config
 from ..constraints import Constraint
 from ..models.compiled import EPSILON
 from ..ops.kernels import KERNELS
+from ..ops.linalg import spd_solve, spd_solve_multi
 
 
 # ---------------------------------------------------------------------------
@@ -322,22 +323,16 @@ class ShardedSchurSolver:
                 a_ib = jtj[:n_i, n_i:]
                 a_bb_part = jtj[n_i:, n_i:]
 
-                li = jnp.linalg.cholesky(a_ii)
-                fail_i = jnp.any(jnp.isnan(li))
-                li_safe = jnp.where(fail_i, eye_i, li)
-                u = jax.scipy.linalg.cho_solve((li_safe, True), b_i)
+                u, fail_i = spd_solve(a_ii, b_i)
 
                 if n_b:
-                    w_mat = jax.scipy.linalg.cho_solve((li_safe, True), a_ib)
+                    w_mat, _fw = spd_solve_multi(a_ii, a_ib)
                     s_part = a_bb_part - a_ib.T @ w_mat
                     rhs_part = b_b - a_ib.T @ u
                     s_mat = jax.lax.psum(s_part, "d") + s["lam"] * eye_b
                     rhs = jax.lax.psum(rhs_part, "d")
-                    ls = jnp.linalg.cholesky(s_mat)
-                    fail_b = jnp.any(jnp.isnan(ls))
-                    ls_safe = jnp.where(fail_b, eye_b, ls)
-                    d_b = jax.scipy.linalg.cho_solve((ls_safe, True), rhs)
-                    d_i = jax.scipy.linalg.cho_solve((li_safe, True), b_i - a_ib @ d_b)
+                    d_b, fail_b = spd_solve(s_mat, rhs)
+                    d_i, _fi2 = spd_solve(a_ii, b_i - a_ib @ d_b)
                     step_inf_b = jnp.max(jnp.abs(d_b))
                 else:
                     fail_b = jnp.asarray(False)

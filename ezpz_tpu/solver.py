@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from .config import LM_LAMBDA_DECR, LM_LAMBDA_INCR
 from .models.compiled import CompiledSystem
+from .ops.linalg import spd_solve
 
 
 class LMState(NamedTuple):
@@ -98,11 +99,7 @@ def solve_lm(
 
         _r, jtj, jtr, deg_j = system.normal_equations(s.x, pars)
         a = jtj + s.lam * eye
-        chol = jnp.linalg.cholesky(a)
-        fail = jnp.any(jnp.isnan(chol))
-        chol_safe = jnp.where(fail, eye, chol)
-        d = jax.scipy.linalg.cho_solve((chol_safe, True), -jtr)
-        d = jnp.where(fail, jnp.zeros_like(d), d)
+        d, fail = spd_solve(a, -jtr)
         step_inf = jnp.max(jnp.abs(d))
 
         x_new = s.x + d
@@ -189,11 +186,7 @@ def solve_gauss_newton(
         act = ~res_conv
 
         a = jtj + lam * eye
-        chol = jnp.linalg.cholesky(a)
-        fail = jnp.any(jnp.isnan(chol))
-        chol_safe = jnp.where(fail, eye, chol)
-        d = jax.scipy.linalg.cho_solve((chol_safe, True), -jtr)
-        d = jnp.where(fail, jnp.zeros_like(d), d)
+        d, fail = spd_solve(a, -jtr)
         step_inf = jnp.max(jnp.abs(d))
 
         x = jnp.where(act, s.x + d, s.x)
