@@ -157,6 +157,41 @@ class CompiledSystem:
         template for building batched ``pars`` overrides."""
         return tuple(b.par for b in self.blocks)
 
+    def jacobian_factors(self, x: jnp.ndarray, pars=None):
+        """Per-block weighted Jacobians + residual, for matrix-free JtJ
+        matvecs (large systems where a dense (n, n) JtJ won't fit).
+
+        Returns (r, jtr, wjacs, deg) where ``wjacs`` is a list of (nb, dim,
+        nv) arrays aligned with ``self.blocks``.
+        """
+        jtr = jnp.zeros((self.n_vars,), self.dtype)
+        parts = []
+        wjacs = []
+        deg_acc = jnp.zeros((self.n_constraints,), jnp.bool_)
+        for i, b in enumerate(self.blocks):
+            jac, (res, deg) = jax.vmap(
+                lambda vv, pp, fn=b.spec.fn: _jac_with_value(fn, vv, pp)
+            )(x[b.idx], self._pars(pars, i))
+            wres = res * b.weight[:, None]
+            wjac = jac * b.weight[:, None, None]
+            wjacs.append(wjac)
+            jtr = jtr.at[b.idx].add(jnp.einsum("ndk,nd->nk", wjac, wres))
+            parts.append(wres.reshape(-1))
+            deg_acc = deg_acc.at[b.cid].max(deg)
+        r = jnp.concatenate(parts) if parts else jnp.zeros((0,), self.dtype)
+        return r, jtr, wjacs, deg_acc
+
+    def jtj_matvec(self, wjacs, v: jnp.ndarray) -> jnp.ndarray:
+        """(JtJ) v without materializing JtJ: per block, gather -> row
+        contraction -> scatter-add. O(nnz) like the sparse product the
+        reference forms explicitly (``newton.rs:73-77``)."""
+        out = jnp.zeros((self.n_vars,), self.dtype)
+        for b, wjac in zip(self.blocks, wjacs):
+            vg = v[b.idx]  # (nb, nv)
+            t = jnp.einsum("ndk,nk->nd", wjac, vg)  # J v rows
+            out = out.at[b.idx].add(jnp.einsum("ndk,nd->nk", wjac, t))
+        return out
+
 
 def _jac_with_value(fn, v, p):
     """(d res / d v, (res, deg)) for a single instance."""

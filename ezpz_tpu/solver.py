@@ -217,6 +217,122 @@ def solve_gauss_newton(
     )
 
 
+def _cg(matvec, b, x0, tol, max_iters):
+    """Standard conjugate gradients on an SPD operator, jit-friendly."""
+
+    def cond(s):
+        x, r, p, rs, it = s
+        return jnp.logical_and(rs > tol * tol, it < max_iters)
+
+    def body(s):
+        x, r, p, rs, it = s
+        ap = matvec(p)
+        alpha = rs / jnp.vdot(p, ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rs_new = jnp.vdot(r, r)
+        p = r + (rs_new / rs) * p
+        return (x, r, p, rs_new, it + 1)
+
+    r0 = b - matvec(x0)
+    state = (x0, r0, r0, jnp.vdot(r0, r0), jnp.asarray(0, jnp.int32))
+    x, _r, _p, _rs, _it = jax.lax.while_loop(cond, body, state)
+    return x
+
+
+def solve_lm_cg(
+    system: CompiledSystem,
+    x0: jnp.ndarray,
+    max_iterations: int,
+    residual_tolerance,
+    step_tolerance,
+    initial_lambda,
+    pars=None,
+    cg_tol: float = 1e-12,
+    cg_max_iters: int = 400,
+) -> LMResult:
+    """LM with a matrix-free conjugate-gradient inner solve.
+
+    For systems too large to materialize the dense (n, n) normal equations:
+    (JtJ + lambda I) d = -Jt r is solved with CG using only per-block
+    Jacobian factors (O(nnz) per matvec). Since lambda > 0 keeps the operator
+    SPD, there is no factorization-failure path; everything else mirrors
+    ``solve_lm``.
+    """
+    dtype = system.dtype
+    rtol = jnp.asarray(residual_tolerance, dtype)
+    stol = jnp.asarray(step_tolerance, dtype)
+
+    r0, deg0 = system.residual_and_flags(x0, pars)
+    state = LMState(
+        x=x0.astype(dtype),
+        r=r0,
+        r2=jnp.sum(r0 * r0),
+        lam=jnp.asarray(initial_lambda, dtype),
+        it=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        converged=jnp.asarray(False),
+        iterations=jnp.asarray(0, jnp.int32),
+        deg=deg0,
+    )
+
+    def cond(s: LMState):
+        return jnp.logical_and(~s.done, s.it < max_iterations)
+
+    def body(s: LMState) -> LMState:
+        rinf = jnp.max(jnp.abs(s.r))
+        res_conv = rinf <= rtol
+        act = ~res_conv
+
+        _r, jtr, wjacs, deg_j = system.jacobian_factors(s.x, pars)
+        lam = s.lam
+
+        def matvec(v):
+            return system.jtj_matvec(wjacs, v) + lam * v
+
+        d = _cg(matvec, -jtr, jnp.zeros_like(s.x), cg_tol, cg_max_iters)
+        step_inf = jnp.max(jnp.abs(d))
+
+        x_new = s.x + d
+        r_new, deg_r = system.residual_and_flags(x_new, pars)
+        r2_new = jnp.sum(r_new * r_new)
+        accept = r2_new < s.r2
+
+        take = jnp.logical_and(act, accept)
+        x = jnp.where(take, x_new, s.x)
+        r = jnp.where(take, r_new, s.r)
+        r2 = jnp.where(take, r2_new, s.r2)
+        lam_next = jnp.where(
+            act,
+            jnp.where(accept, s.lam * LM_LAMBDA_DECR, s.lam * LM_LAMBDA_INCR),
+            s.lam,
+        )
+        deg = s.deg | jnp.where(act, deg_j | deg_r, jnp.zeros_like(deg_j))
+        step_conv = act & (step_inf <= stol)
+        done = res_conv | step_conv
+        return LMState(
+            x=x,
+            r=r,
+            r2=r2,
+            lam=lam_next,
+            it=jnp.where(res_conv, s.it, s.it + 1),
+            done=done,
+            converged=s.converged | done,
+            iterations=jnp.where(done, s.it, s.iterations),
+            deg=deg,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    iterations = jnp.where(final.done, final.iterations, jnp.asarray(max_iterations, jnp.int32))
+    return LMResult(
+        x=final.x,
+        iterations=iterations,
+        converged=final.converged,
+        deg=final.deg,
+        residual=final.r,
+    )
+
+
 def make_solver(system: CompiledSystem, max_iterations: int):
     """A jitted solver for one compiled topology. Tolerances and lambda stay
     dynamic so config tweaks don't recompile; max_iterations only bounds the

@@ -1,0 +1,54 @@
+"""Matrix-free LM-CG solver tests: must match the dense-Cholesky LM solution
+on well-conditioned systems without ever materializing JtJ."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ezpz_tpu.constraints import Constraint
+from ezpz_tpu.datatypes import DatumLineSegment, DatumPoint
+from ezpz_tpu.models.compiled import compile_system
+from ezpz_tpu.solver import solve_lm, solve_lm_cg
+
+
+def _chain_system(n_pts=40):
+    """A long chain: fixed start, unit distances, horizontal segments."""
+    cs = []
+    pts = [DatumPoint(2 * i, 2 * i + 1) for i in range(n_pts)]
+    cs.append(Constraint.Fixed(pts[0].x_id, 0.0))
+    cs.append(Constraint.Fixed(pts[0].y_id, 0.0))
+    for i in range(n_pts - 1):
+        cs.append(Constraint.Distance(pts[i], pts[i + 1], 1.0))
+        cs.append(Constraint.Horizontal(DatumLineSegment(pts[i], pts[i + 1])))
+    rng = np.random.default_rng(5)
+    x0 = np.zeros(2 * n_pts)
+    x0[0::2] = np.arange(n_pts) * 1.05 + rng.uniform(-0.05, 0.05, n_pts)
+    x0[1::2] = rng.uniform(-0.2, 0.2, n_pts)
+    return cs, x0
+
+
+def test_lm_cg_matches_dense():
+    cs, x0 = _chain_system()
+    system = compile_system(cs, len(x0))
+    dense = solve_lm(system, jnp.asarray(x0), 35, 1e-8, 1e-12, 1e-9)
+    cg = solve_lm_cg(system, jnp.asarray(x0), 35, 1e-8, 1e-12, 1e-9)
+    assert bool(dense.converged) and bool(cg.converged)
+    np.testing.assert_allclose(np.asarray(cg.x), np.asarray(dense.x), atol=1e-7)
+    # Both converge to the same residual level.
+    assert float(jnp.max(jnp.abs(cg.residual))) <= 1e-8
+
+
+def test_jtj_matvec_matches_dense_jtj():
+    cs, x0 = _chain_system(10)
+    system = compile_system(cs, len(x0))
+    x = jnp.asarray(x0)
+    _r, jtj, _jtr, _d = system.normal_equations(x)
+    _r2, _jtr2, wjacs, _d2 = system.jacobian_factors(x)
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        v = jnp.asarray(rng.normal(size=len(x0)))
+        np.testing.assert_allclose(
+            np.asarray(system.jtj_matvec(wjacs, v)),
+            np.asarray(jtj @ v),
+            atol=1e-10,
+        )
