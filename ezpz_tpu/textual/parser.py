@@ -181,6 +181,60 @@ def _parse_guess_line(line: str):
 
 
 def parse_problem(text: str) -> Problem:
+    """Parse a textual problem. Uses the native C++ parser when available
+    (``ezpz_tpu/native/fastparse.cpp``; identical grammar, ~20x faster on
+    big files), falling back to the pure-Python implementation. Set
+    ``EZPZ_NO_NATIVE=1`` to force the Python path."""
+    import os
+
+    if not os.environ.get("EZPZ_NO_NATIVE"):
+        from ..native import load_fastparse
+
+        mod = load_fastparse()
+        if mod is not None:
+            try:
+                raw = mod.parse(text)
+            except ValueError as e:
+                raise ParseError(str(e)) from None
+            return _problem_from_native(raw)
+    return _parse_problem_py(text)
+
+
+def _problem_from_native(raw) -> Problem:
+    instrs_raw, point_guesses, scalar_guesses = raw
+    instructions: List[Instruction] = []
+    for op, labels, value, comp, angle in instrs_raw:
+        component = None
+        if comp == "x":
+            component = Component.X
+        elif comp == "y":
+            component = Component.Y
+        ang = None
+        if angle is not None:
+            val, is_deg = angle
+            ang = Angle.from_degrees(val) if is_deg else Angle.from_radians(val)
+        instructions.append(
+            Instruction(op, labels=labels, value=value, component=component, angle=ang)
+        )
+    problem = Problem()
+    problem.instructions = instructions
+    for instr in instructions:
+        if instr.op == Instruction.DECLARE_POINT:
+            problem.inner_points.append(instr.labels[0])
+        elif instr.op == Instruction.DECLARE_CIRCLE:
+            problem.inner_circles.append(instr.labels[0])
+        elif instr.op == Instruction.DECLARE_ARC:
+            problem.inner_arcs.append(instr.labels[0])
+        elif instr.op == Instruction.LINE:
+            problem.inner_lines.append((instr.labels[0], instr.labels[1]))
+    for label, gx, gy in point_guesses:
+        problem.point_guesses.append(PointGuess(point=label, x=gx, y=gy))
+    for label, g in scalar_guesses:
+        problem.scalar_guesses.append(ScalarGuess(scalar=label, guess=g))
+    return problem
+
+
+def _parse_problem_py(text: str) -> Problem:
     lines = [ln.strip() for ln in text.splitlines()]
     section = None  # None | 'constraints' | 'guesses'
     instructions: List[Instruction] = []
