@@ -45,9 +45,14 @@ def main():
     buckets = build_buckets(constraints, n_vars)
     M = int(os.environ.get("BENCH_COPIES", "16384"))
 
+    # Mixed precision: f32 LM + f64-residual refinement (solve_lm_mixed).
+    # TPUs have no native f64; the refinement still verifies the final
+    # residual at the reference's 1e-8 inf-norm tolerance in f64.
+    precision = os.environ.get("BENCH_PRECISION", "mixed")
     solvers = []
     for bucket in buckets:
-        solver = BatchSolver(bucket.system, Config(), batch_params=True)
+        solver = BatchSolver(bucket.system, Config(), batch_params=True,
+                             precision=precision)
         x0b = np.tile(x0[bucket.var_index], (M, 1))
         pars = tuple(jnp.asarray(np.tile(p, (M, 1, 1))) for p in bucket.pars)
         solvers.append((solver, jnp.asarray(x0b), pars))
@@ -71,12 +76,18 @@ def main():
                           "error": "did not converge/satisfy"}))
         return 1
 
-    # Timed region.
+    # Timed region. EZPZ_TPU_PROFILE_DIR captures a jax.profiler trace of it
+    # (the TPU analog of the reference's `just flamegraph`, justfile:35-36).
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    profile_dir = os.environ.get("EZPZ_TPU_PROFILE_DIR")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     for _ in range(reps):
         run_once()
     dt = (time.perf_counter() - t0) / reps
+    if profile_dir:
+        jax.profiler.stop_trace()
     solves_per_sec = M / dt
 
     print(json.dumps({
@@ -86,7 +97,7 @@ def main():
         "vs_baseline": round(solves_per_sec / BASELINE_SOLVES_PER_SEC, 3),
         "detail": {
             "system": "2400 vars / 2400 eqs x %d copies" % M,
-            "dtype": "float64",
+            "dtype": precision + " (residual verified in float64)",
             "residual_tolerance": 1e-8,
             "lm_iterations": iters,
             "device": str(jax.devices()[0]),

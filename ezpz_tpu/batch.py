@@ -24,7 +24,7 @@ import numpy as np
 
 from .config import Config
 from .models.compiled import CompiledSystem
-from .solver import solve_lm
+from .solver import solve_lm, solve_lm_mixed
 
 
 @dataclass
@@ -45,28 +45,56 @@ class BatchSolver:
     """
 
     def __init__(self, system: CompiledSystem, config: Config = Config(),
-                 batch_params: bool = False):
+                 batch_params: bool = False, precision: str = "f64"):
+        """``precision``:
+
+        * ``"f64"`` (default) — the reference-exact f64 LM loop;
+        * ``"mixed"`` — f32 LM + f64-residual refinement
+          (``solve_lm_mixed``): ~6x faster on TPU (no native f64 there),
+          still verified to the f64 residual tolerance, but iteration
+          counts do not match the reference's pinned values.
+        """
+        assert precision in ("f64", "mixed"), precision
         self.system = system
         self.config = config
         self.batch_params = batch_params
+        self.precision = precision
         max_iterations = config.max_iterations
+        system32 = system.astype(jnp.float32) if precision == "mixed" else None
+
+        # With strictly positive weights, satisfaction comes free from the
+        # final weighted residual (one full f64 residual pass saved/solve).
+        fast_sat = system.all_weights_positive()
+
+        def solve_one(x0, pars, rtol, stol, lam0):
+            if precision == "mixed":
+                pars32 = (
+                    None if pars is None
+                    else tuple(p.astype(jnp.float32) for p in pars)
+                )
+                res = solve_lm_mixed(
+                    system, system32, x0, max_iterations, rtol, stol, lam0,
+                    pars64=pars, pars32=pars32,
+                )
+            else:
+                res = solve_lm(system, x0, max_iterations, rtol, stol, lam0, pars=pars)
+            if fast_sat:
+                sat = system.satisfaction_from_residual(res.residual)
+            else:
+                sat = system.constraint_satisfaction(res.x, pars)
+            return res, sat
 
         if batch_params:
-            def one(x0, pars, rtol, stol, lam0):
-                res = solve_lm(system, x0, max_iterations, rtol, stol, lam0, pars=pars)
-                sat = system.constraint_satisfaction(res.x, pars)
-                return res, sat
-
             self._run = jax.jit(
-                jax.vmap(one, in_axes=(0, 0, None, None, None))
+                jax.vmap(solve_one, in_axes=(0, 0, None, None, None))
             )
         else:
-            def one(x0, rtol, stol, lam0):
-                res = solve_lm(system, x0, max_iterations, rtol, stol, lam0)
-                sat = system.constraint_satisfaction(res.x)
-                return res, sat
-
-            self._run = jax.jit(jax.vmap(one, in_axes=(0, None, None, None)))
+            self._run = jax.jit(
+                jax.vmap(
+                    lambda x0, rtol, stol, lam0: solve_one(x0, None, rtol, stol, lam0),
+                    in_axes=(0, None, None, None),
+                )
+            )
 
     def solve(self, x0: jnp.ndarray, pars: Optional[Tuple] = None) -> BatchResult:
         c = self.config

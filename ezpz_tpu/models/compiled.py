@@ -152,10 +152,95 @@ class CompiledSystem:
             worst = worst.at[b.cid].max(inst_max)
         return worst < EPSILON
 
+    def satisfaction_from_residual(self, r: jnp.ndarray) -> jnp.ndarray:
+        """Per-constraint satisfaction derived from an already-evaluated
+        weighted residual vector (no extra kernel evaluations): the
+        unweighted row is ``|r| / w``, valid whenever every weight > 0
+        (check ``all_weights_positive()`` before using this path). Saves a
+        full residual pass per solve on the hot fleet path — significant in
+        f64 on TPU."""
+        rows_cid = np.concatenate(
+            [np.repeat(b.cid, b.spec.dim) for b in self.blocks]
+        ) if self.blocks else np.zeros((0,), np.int32)
+        rows_w = np.concatenate(
+            [np.repeat(np.asarray(b.weight, np.float64), b.spec.dim) for b in self.blocks]
+        ) if self.blocks else np.zeros((0,))
+        worst = jnp.zeros((self.n_constraints,), r.dtype)
+        worst = worst.at[rows_cid].max(jnp.abs(r) / jnp.asarray(rows_w, r.dtype))
+        return worst < EPSILON
+
+    def all_weights_positive(self) -> bool:
+        return all(float(np.min(b.weight)) > 0.0 for b in self.blocks) if self.blocks else True
+
     def param_arrays(self) -> Tuple[np.ndarray, ...]:
         """The compile-time parameter arrays, aligned with ``blocks`` — the
         template for building batched ``pars`` overrides."""
         return tuple(b.par for b in self.blocks)
+
+    def astype(self, dtype) -> "CompiledSystem":
+        """The same topology with parameters/weights in another dtype (the
+        f32 twin used by the mixed-precision solver)."""
+        if dtype == self.dtype:
+            return self
+        from dataclasses import replace
+
+        blocks = tuple(
+            replace(b, par=b.par.astype(dtype), weight=b.weight.astype(dtype))
+            for b in self.blocks
+        )
+        return CompiledSystem(
+            n_vars=self.n_vars,
+            n_constraints=self.n_constraints,
+            n_rows=self.n_rows,
+            blocks=blocks,
+            dtype=dtype,
+        )
+
+    def block_row_slices(self) -> Tuple[Tuple[int, int], ...]:
+        """(start, stop) row ranges of each block inside the concatenated
+        residual vector (compiled row order)."""
+        out = []
+        row = 0
+        for b in self.blocks:
+            n = int(b.idx.shape[0]) * b.spec.dim
+            out.append((row, row + n))
+            row += n
+        return tuple(out)
+
+    def refine_normal_equations(self, x64: jnp.ndarray, r64: jnp.ndarray,
+                                pars=None):
+        """Mixed-precision normal equations for iterative refinement.
+
+        The Jacobian is evaluated in THIS system's dtype (call on the f32
+        twin) at ``x64.astype(dtype)``, while ``r64`` — the residual already
+        evaluated in f64 at ``x64`` — supplies the right-hand side:
+        ``jtr = J32^T cast(r64)``. Near a solution the step is
+        |d| ~ |r| ~ 1e-6, so f32 *relative* accuracy on J and on the cast
+        r64 gives ~1e-13 *absolute* step error — far below the 1e-8 target.
+        Only the residual evaluation itself needs f64 (an absolutely
+        accurate r); that happens outside, once per iteration.
+
+        Returns (jtj, jtr, deg) in this system's dtype.
+        """
+        x = x64.astype(self.dtype)
+        n = self.n_vars
+        jtj = jnp.zeros((n, n), self.dtype)
+        jtr = jnp.zeros((n,), self.dtype)
+        deg_acc = jnp.zeros((self.n_constraints,), jnp.bool_)
+        slices = self.block_row_slices()
+        for i, b in enumerate(self.blocks):
+            jac, (_res, deg) = jax.vmap(
+                lambda vv, pp, fn=b.spec.fn: _jac_with_value(fn, vv, pp)
+            )(x[b.idx], self._pars(pars, i))
+            wjac = jac * b.weight[:, None, None]  # (nb, dim, nv)
+            lo, hi = slices[i]
+            wres = r64[lo:hi].astype(self.dtype).reshape(jac.shape[0], b.spec.dim)
+            jtj = jtj.at[b.idx[:, :, None], b.idx[:, None, :]].add(
+                jnp.einsum("ndk,ndl->nkl", wjac, wjac)
+            )
+            jtr = jtr.at[b.idx].add(jnp.einsum("ndk,nd->nk", wjac, wres))
+            deg_acc = deg_acc.at[b.cid].max(deg)
+        return jtj, jtr, deg_acc
 
     def jacobian_factors(self, x: jnp.ndarray, pars=None):
         """Per-block weighted Jacobians + residual, for matrix-free JtJ

@@ -60,11 +60,16 @@ def solve_lm(
     step_tolerance,
     initial_lambda,
     pars=None,
+    debug_jac: bool = False,
 ) -> LMResult:
     """Run the LM loop on one system. Pure and jit/vmap-compatible.
 
     ``pars`` optionally overrides the per-block parameter arrays (dynamic
-    parameters for the fleet-batching path)."""
+    parameters for the fleet-batching path). ``debug_jac`` (static) prints
+    the dense weighted Jacobian every iteration — the analog of the
+    reference's ``dbg-jac`` compile-time feature (``solver.rs:370-439``,
+    ``ezpz/Cargo.toml:16``); enable via ``EZPZ_TPU_DBG_JAC=1`` on the
+    public API."""
     dtype = system.dtype
     n = system.n_vars
     eye = jnp.eye(n, dtype=dtype)
@@ -89,14 +94,22 @@ def solve_lm(
     rtol = jnp.asarray(residual_tolerance, dtype)
     stol = jnp.asarray(step_tolerance, dtype)
 
+    # The reference checks the residual tolerance at the TOP of each
+    # iteration (newton.rs:50-60). Expressing that check in the while_loop's
+    # ``cond`` — instead of predicating the body — makes a residual-converged
+    # solve skip the final body entirely (one whole Jacobian + factorization
+    # + trial evaluation saved; a third of the work for typical 2-iteration
+    # solves). Semantics are identical: the loop exits before taking a step,
+    # ``it`` counts the steps actually attempted.
     def cond(s: LMState):
-        return jnp.logical_and(~s.done, s.it < max_iterations)
+        return (~s.done) & (s.it < max_iterations) & (jnp.max(jnp.abs(s.r)) > rtol)
 
     def body(s: LMState) -> LMState:
-        rinf = jnp.max(jnp.abs(s.r))
-        res_conv = rinf <= rtol
-        act = ~res_conv
-
+        if debug_jac:
+            jax.debug.print(
+                "dbg-jac: iteration {it}, dense Jacobian =\n{j}",
+                it=s.it, j=system.jacobian_dense(s.x, pars),
+            )
         _r, jtj, jtr, deg_j = system.normal_equations(s.x, pars)
         a = jtj + s.lam * eye
         d, fail = spd_solve(a, -jtr)
@@ -107,39 +120,43 @@ def solve_lm(
         r2_new = jnp.sum(r_new * r_new)
         accept = jnp.logical_and(~fail, r2_new < s.r2)
 
-        take = jnp.logical_and(act, accept)
-        x = jnp.where(take, x_new, s.x)
-        r = jnp.where(take, r_new, s.r)
-        r2 = jnp.where(take, r2_new, s.r2)
-        lam = jnp.where(
-            act,
-            jnp.where(accept, s.lam * LM_LAMBDA_DECR, s.lam * LM_LAMBDA_INCR),
-            s.lam,
-        )
-        deg = s.deg | jnp.where(act, deg_j | deg_r, jnp.zeros_like(deg_j))
+        x = jnp.where(accept, x_new, s.x)
+        r = jnp.where(accept, r_new, s.r)
+        r2 = jnp.where(accept, r2_new, s.r2)
+        lam = jnp.where(accept, s.lam * LM_LAMBDA_DECR, s.lam * LM_LAMBDA_INCR)
+        deg = s.deg | deg_j | deg_r
 
-        step_conv = act & (~fail) & (step_inf <= stol)
-        done = res_conv | step_conv
-        iterations = jnp.where(done, s.it, s.iterations)
-        it = jnp.where(res_conv, s.it, s.it + 1)
+        # Step-size convergence at the bottom (newton.rs:134-139); reports
+        # the index of the iteration that took the step.
+        step_conv = (~fail) & (step_inf <= stol)
+        iterations = jnp.where(step_conv, s.it, s.iterations)
         return LMState(
             x=x,
             r=r,
             r2=r2,
             lam=lam,
-            it=it,
-            done=done,
-            converged=s.converged | done,
+            it=s.it + 1,
+            done=step_conv,
+            converged=s.converged | step_conv,
             iterations=iterations,
             deg=deg,
         )
 
     final = jax.lax.while_loop(cond, body, state)
-    iterations = jnp.where(final.done, final.iterations, jnp.asarray(max_iterations, jnp.int32))
+    res_conv = jnp.max(jnp.abs(final.r)) <= rtol
+    converged = final.converged | res_conv
+    # Residual convergence reports iterations = steps taken so far
+    # (newton.rs:50-60); step convergence pinned its index inside the loop;
+    # hitting max_iterations reports max_iterations with converged = False.
+    iterations = jnp.where(
+        final.done,
+        final.iterations,
+        jnp.where(res_conv, final.it, jnp.asarray(max_iterations, jnp.int32)),
+    )
     return LMResult(
         x=final.x,
         iterations=iterations,
-        converged=final.converged,
+        converged=converged,
         deg=final.deg,
         residual=final.r,
     )
@@ -276,14 +293,11 @@ def solve_lm_cg(
         deg=deg0,
     )
 
+    # Residual check in ``cond`` (see solve_lm): no detection pass.
     def cond(s: LMState):
-        return jnp.logical_and(~s.done, s.it < max_iterations)
+        return (~s.done) & (s.it < max_iterations) & (jnp.max(jnp.abs(s.r)) > rtol)
 
     def body(s: LMState) -> LMState:
-        rinf = jnp.max(jnp.abs(s.r))
-        res_conv = rinf <= rtol
-        act = ~res_conv
-
         _r, jtr, wjacs, deg_j = system.jacobian_factors(s.x, pars)
         lam = s.lam
 
@@ -298,36 +312,146 @@ def solve_lm_cg(
         r2_new = jnp.sum(r_new * r_new)
         accept = r2_new < s.r2
 
-        take = jnp.logical_and(act, accept)
-        x = jnp.where(take, x_new, s.x)
-        r = jnp.where(take, r_new, s.r)
-        r2 = jnp.where(take, r2_new, s.r2)
-        lam_next = jnp.where(
-            act,
-            jnp.where(accept, s.lam * LM_LAMBDA_DECR, s.lam * LM_LAMBDA_INCR),
-            s.lam,
-        )
-        deg = s.deg | jnp.where(act, deg_j | deg_r, jnp.zeros_like(deg_j))
-        step_conv = act & (step_inf <= stol)
-        done = res_conv | step_conv
+        x = jnp.where(accept, x_new, s.x)
+        r = jnp.where(accept, r_new, s.r)
+        r2 = jnp.where(accept, r2_new, s.r2)
+        lam_next = jnp.where(accept, s.lam * LM_LAMBDA_DECR, s.lam * LM_LAMBDA_INCR)
+        deg = s.deg | deg_j | deg_r
+        step_conv = step_inf <= stol
+        iterations = jnp.where(step_conv, s.it, s.iterations)
         return LMState(
             x=x,
             r=r,
             r2=r2,
             lam=lam_next,
-            it=jnp.where(res_conv, s.it, s.it + 1),
-            done=done,
-            converged=s.converged | done,
-            iterations=jnp.where(done, s.it, s.iterations),
+            it=s.it + 1,
+            done=step_conv,
+            converged=s.converged | step_conv,
+            iterations=iterations,
             deg=deg,
         )
 
     final = jax.lax.while_loop(cond, body, state)
-    iterations = jnp.where(final.done, final.iterations, jnp.asarray(max_iterations, jnp.int32))
+    res_conv = jnp.max(jnp.abs(final.r)) <= rtol
+    iterations = jnp.where(
+        final.done,
+        final.iterations,
+        jnp.where(res_conv, final.it, jnp.asarray(max_iterations, jnp.int32)),
+    )
     return LMResult(
         x=final.x,
         iterations=iterations,
-        converged=final.converged,
+        converged=final.converged | res_conv,
+        deg=final.deg,
+        residual=final.r,
+    )
+
+
+def solve_lm_mixed(
+    system64: CompiledSystem,
+    system32: CompiledSystem,
+    x0: jnp.ndarray,
+    max_iterations: int,
+    residual_tolerance,
+    step_tolerance,
+    initial_lambda,
+    pars64=None,
+    pars32=None,
+    coarse_tolerance: float = 5e-6,
+    refine_iterations: int = 6,
+) -> LMResult:
+    """Mixed-precision LM: f32 iterations + f64-residual refinement.
+
+    TPUs have no native f64 — XLA emulates it ~6x slower elementwise — but
+    an inf-norm residual of 1e-8 needs better-than-f32 accuracy only in the
+    *residual evaluation* at the final point (SURVEY.md section 7 "f64 on
+    TPU"). So:
+
+    1. run the standard LM loop entirely in f32 down to ``coarse_tolerance``
+       (just above f32 round-off for O(1) coordinates);
+    2. refine with LM iterations whose residual (and accept/reject ``r2``)
+       are evaluated in f64 but whose Jacobian, normal equations, and
+       Cholesky stay f32: classic inexact Newton / iterative refinement —
+       with |r| ~ 1e-6, f32 *relative* error on J gives ~1e-13 *absolute*
+       step error, converging the f64 residual quadratically to < 1e-8.
+
+    Semantics vs ``solve_lm``: identical accept/reject, lambda schedule, and
+    failure handling; ``iterations`` counts phase-1 + phase-2 steps, which
+    does NOT reproduce the reference's pinned iteration counts (use the pure
+    f64 path when those matter). Intended for the high-throughput fleet and
+    benchmark paths.
+    """
+    f64 = system64.dtype
+    coarse = solve_lm(
+        system32,
+        x0.astype(system32.dtype),
+        max_iterations,
+        coarse_tolerance,
+        jnp.maximum(jnp.asarray(step_tolerance, system32.dtype), 1e-7),  # f32 steps stagnate below ~1e-7
+        initial_lambda,
+        pars=pars32,
+    )
+
+    n = system64.n_vars
+    eye32 = jnp.eye(n, dtype=system32.dtype)
+    rtol = jnp.asarray(residual_tolerance, f64)
+    stol = jnp.asarray(step_tolerance, f64)
+
+    x1 = coarse.x.astype(f64)
+    r0, deg0 = system64.residual_and_flags(x1, pars64)
+    state = LMState(
+        x=x1,
+        r=r0,
+        r2=jnp.sum(r0 * r0),
+        lam=jnp.asarray(initial_lambda, system32.dtype),
+        it=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        converged=jnp.asarray(False),
+        iterations=jnp.asarray(0, jnp.int32),
+        deg=coarse.deg | deg0,
+    )
+
+    # Residual check in ``cond`` (see solve_lm): a converged refinement never
+    # pays for the extra detection pass.
+    def cond(s: LMState):
+        return (~s.done) & (s.it < refine_iterations) & (jnp.max(jnp.abs(s.r)) > rtol)
+
+    def body(s: LMState) -> LMState:
+        jtj, jtr, deg_j = system32.refine_normal_equations(s.x, s.r, pars32)
+        a = jtj + s.lam * eye32
+        d32, fail = spd_solve(a, -jtr)
+        d = d32.astype(f64)
+        step_inf = jnp.max(jnp.abs(d))
+
+        x_new = s.x + d
+        r_new, deg_r = system64.residual_and_flags(x_new, pars64)
+        r2_new = jnp.sum(r_new * r_new)
+        accept = jnp.logical_and(~fail, r2_new < s.r2)
+
+        x = jnp.where(accept, x_new, s.x)
+        r = jnp.where(accept, r_new, s.r)
+        r2 = jnp.where(accept, r2_new, s.r2)
+        lam = jnp.where(accept, s.lam * LM_LAMBDA_DECR, s.lam * LM_LAMBDA_INCR)
+        deg = s.deg | deg_j | deg_r
+        step_conv = (~fail) & (step_inf <= stol)
+        iterations = jnp.where(step_conv, s.it, s.iterations)
+        return LMState(
+            x=x, r=r, r2=r2, lam=lam, it=s.it + 1, done=step_conv,
+            converged=s.converged | step_conv, iterations=iterations, deg=deg,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    res_conv = jnp.max(jnp.abs(final.r)) <= rtol
+    refined_ok = final.done | res_conv
+    refine_count = jnp.where(
+        final.done,
+        final.iterations,
+        jnp.where(res_conv, final.it, jnp.asarray(refine_iterations, jnp.int32)),
+    )
+    return LMResult(
+        x=final.x,
+        iterations=coarse.iterations + refine_count,
+        converged=refined_ok,
         deg=final.deg,
         residual=final.r,
     )
@@ -336,14 +460,23 @@ def solve_lm_cg(
 def make_solver(system: CompiledSystem, max_iterations: int):
     """A jitted solver for one compiled topology. Tolerances and lambda stay
     dynamic so config tweaks don't recompile; max_iterations only bounds the
-    loop and is static."""
+    loop and is static. ``EZPZ_TPU_DBG_JAC=1`` prints the dense Jacobian per
+    iteration (the reference's ``dbg-jac`` feature)."""
+    import os
+
+    debug_jac = os.environ.get("EZPZ_TPU_DBG_JAC", "") not in ("", "0")
+    fast_sat = system.all_weights_positive()
 
     @partial(jax.jit, static_argnums=())
     def run(x0, residual_tolerance, step_tolerance, initial_lambda):
         res = solve_lm(
-            system, x0, max_iterations, residual_tolerance, step_tolerance, initial_lambda
+            system, x0, max_iterations, residual_tolerance, step_tolerance,
+            initial_lambda, debug_jac=debug_jac,
         )
-        sat = system.constraint_satisfaction(res.x)
+        if fast_sat:
+            sat = system.satisfaction_from_residual(res.residual)
+        else:
+            sat = system.constraint_satisfaction(res.x)
         return res, sat
 
     return run

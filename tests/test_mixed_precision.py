@@ -1,0 +1,153 @@
+"""Mixed-precision (f32 LM + f64-residual refinement) solver tests.
+
+The mixed path is the TPU throughput configuration: TPUs have no native
+f64, so the LM loop runs in f32 and only residual evaluations are f64
+(inexact Newton / iterative refinement). These tests pin its contract:
+the final f64 inf-norm residual meets the same 1e-8 tolerance as the pure
+f64 path, and final coordinates agree with the f64 path within 1e-6.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import ezpz_tpu  # noqa: F401  (x64 on)
+from ezpz_tpu.batch import BatchSolver
+from ezpz_tpu.config import Config
+from ezpz_tpu.constraints import Constraint
+from ezpz_tpu.datatypes import DatumCircle, DatumDistance, DatumLineSegment, DatumPoint
+from ezpz_tpu.models.compiled import compile_system
+from ezpz_tpu.solver import solve_lm, solve_lm_mixed
+from ezpz_tpu.textual import Problem
+
+
+def _mixed_solve(constraints, x0, **kw):
+    system64 = compile_system(constraints, n_vars=len(x0))
+    system32 = system64.astype(jnp.float32)
+    cfg = Config()
+    return solve_lm_mixed(
+        system64, system32, jnp.asarray(np.asarray(x0, dtype=np.float64)),
+        cfg.max_iterations, cfg.residual_tolerance, cfg.step_tolerance,
+        cfg.initial_lambda, **kw,
+    )
+
+
+def _f64_solve(constraints, x0):
+    system = compile_system(constraints, n_vars=len(x0))
+    cfg = Config()
+    return solve_lm(
+        system, jnp.asarray(np.asarray(x0, dtype=np.float64)),
+        cfg.max_iterations, cfg.residual_tolerance, cfg.step_tolerance,
+        cfg.initial_lambda,
+    )
+
+
+def _square_system():
+    p0, p1, p2, p3 = (DatumPoint(2 * i, 2 * i + 1) for i in range(4))
+    lines = [
+        DatumLineSegment(p0, p1), DatumLineSegment(p1, p2),
+        DatumLineSegment(p2, p3), DatumLineSegment(p3, p0),
+    ]
+    constraints = [
+        Constraint.Fixed(p0.x_id, 0.0),
+        Constraint.Fixed(p0.y_id, 0.0),
+        Constraint.Horizontal(lines[0]),
+        Constraint.Vertical(lines[1]),
+        Constraint.Horizontal(lines[2]),
+        Constraint.Vertical(lines[3]),
+        Constraint.Distance(p0, p1, 4.0),
+        Constraint.Distance(p1, p2, 4.0),
+    ]
+    x0 = np.array([0.1, -0.1, 4.3, 0.2, 4.1, 3.8, 0.2, 4.2])
+    return constraints, x0
+
+
+def test_mixed_square_hits_f64_tolerance():
+    constraints, x0 = _square_system()
+    res = _mixed_solve(constraints, x0)
+    assert bool(res.converged)
+    assert float(jnp.max(jnp.abs(res.residual))) <= 1e-8
+    ref = _f64_solve(constraints, x0)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), atol=1e-6)
+
+
+def test_mixed_nonlinear_circle_tangency():
+    # Nonlinear constraints: distance + circle radius + tangency.
+    p0, p1 = DatumPoint(0, 1), DatumPoint(2, 3)
+    circle = DatumCircle(center=DatumPoint(4, 5), radius=DatumDistance(6))
+    constraints = [
+        Constraint.Fixed(p0.x_id, 0.0),
+        Constraint.Fixed(p0.y_id, 0.0),
+        Constraint.Distance(p0, p1, 5.0),
+        Constraint.Horizontal(DatumLineSegment(p0, p1)),
+        Constraint.CircleRadius(circle, 2.0),
+        Constraint.PointsCoincident(p0, circle.center),
+    ]
+    x0 = np.array([0.2, -0.3, 5.4, 0.7, 0.4, 0.1, 1.5])
+    res = _mixed_solve(constraints, x0)
+    assert bool(res.converged)
+    assert float(jnp.max(jnp.abs(res.residual))) <= 1e-8
+    ref = _f64_solve(constraints, x0)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), atol=1e-6)
+
+
+def test_mixed_batch_matches_f64_batch():
+    constraints, x0 = _square_system()
+    system = compile_system(constraints, n_vars=len(x0))
+    B = 16
+    rng = np.random.default_rng(0)
+    x0b = jnp.asarray(np.tile(x0, (B, 1)) + rng.normal(0, 0.05, (B, len(x0))))
+
+    ref = BatchSolver(system, Config()).solve(x0b)
+    mix = BatchSolver(system, Config(), precision="mixed").solve(x0b)
+    assert bool(np.asarray(mix.converged).all())
+    assert bool(np.asarray(mix.satisfied).all())
+    np.testing.assert_allclose(np.asarray(mix.x), np.asarray(ref.x), atol=1e-6)
+
+
+def test_mixed_batch_params_massive_fixture():
+    """The headline-bench configuration: bucketed massive fixture with
+    batched per-component parameters, mixed precision."""
+    import os
+
+    from ezpz_tpu.models.blocks import build_buckets
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    txt = open(os.path.join(here, "cases", "massive_parallel_system", "problem.md")).read()
+    cs = Problem.from_str(txt).to_constraint_system()
+    constraints = [r.constraint for r in cs.constraints]
+    x0 = np.zeros(len(cs.initial_guesses))
+    for vid, val in cs.initial_guesses:
+        x0[vid] = val
+
+    buckets = build_buckets(constraints, len(x0))
+    assert buckets
+    M = 4
+    for bucket in buckets:
+        solver = BatchSolver(bucket.system, Config(), batch_params=True,
+                             precision="mixed")
+        x0b = jnp.asarray(np.tile(x0[bucket.var_index], (M, 1)))
+        pars = tuple(jnp.asarray(np.tile(p, (M, 1, 1))) for p in bucket.pars)
+        out = solver.solve(x0b, pars)
+        assert bool(np.asarray(out.converged).all())
+        assert bool(np.asarray(out.satisfied).all())
+
+        ref = BatchSolver(bucket.system, Config(), batch_params=True).solve(x0b, pars)
+        np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x), atol=1e-6)
+
+
+def test_mixed_inconsistent_terminates():
+    """Least-squares compromise systems (residual can't reach tolerance)
+    must still terminate with converged=False or step-converge, not hang."""
+    p0, p1 = DatumPoint(0, 1), DatumPoint(2, 3)
+    constraints = [
+        Constraint.Fixed(p0.x_id, 0.0),
+        Constraint.Fixed(p0.y_id, 0.0),
+        Constraint.Fixed(p1.y_id, 0.0),
+        Constraint.Distance(p0, p1, 4.0),
+        Constraint.VerticalDistance(p0, p1, 1.0),  # contradicts p1.y = 0
+    ]
+    x0 = np.array([0.0, 0.0, 4.0, 0.5])
+    res = _mixed_solve(constraints, x0)
+    # Terminates; the compromise leaves some residual > 1e-8.
+    assert np.isfinite(np.asarray(res.x)).all()
