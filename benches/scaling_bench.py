@@ -1,0 +1,166 @@
+#!/usr/bin/env python3
+"""Scaling-efficiency benchmark over a device mesh.
+
+Measures weak scaling (fixed work per device) of both multi-device paths:
+
+* ``fleet``: data-parallel batch of independent sketches (FleetSolver) —
+  B = sketches_per_device x D, no collectives in the hot loop;
+* ``schur``: one coupled chain system sharded across devices
+  (ShardedSchurSolver) — vars_per_device x D variables, one psum of an
+  (n_b, n_b) packet per LM iteration.
+
+Efficiency(D) = t(1) / t(D) under weak scaling (ideal = 1.0). On real
+multi-chip hardware this is the BASELINE.md ">= 80% at >= 2 hosts" metric;
+on a faked CPU mesh (XLA_FLAGS=--xla_force_host_platform_device_count=N)
+the numbers validate that the collective pattern compiles and stays
+iteration-count-flat, not true ICI bandwidth.
+
+Usage:
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python benches/scaling_bench.py --devices 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+sys.path.insert(0, ROOT)
+
+
+def _chain_system(n_points: int):
+    """A coupled horizontal chain: NOT block-diagonal, so sharding it
+    genuinely exercises the Schur boundary reduction."""
+    from ezpz_tpu.constraints import Constraint
+    from ezpz_tpu.datatypes import DatumLineSegment, DatumPoint
+
+    import numpy as np
+
+    pts = [DatumPoint(2 * i, 2 * i + 1) for i in range(n_points)]
+    constraints = [
+        Constraint.Fixed(pts[0].x_id, 0.0),
+        Constraint.Fixed(pts[0].y_id, 0.0),
+    ]
+    for i in range(n_points - 1):
+        constraints.append(Constraint.Distance(pts[i], pts[i + 1], 1.0))
+        constraints.append(Constraint.Horizontal(DatumLineSegment(pts[i], pts[i + 1])))
+    x0 = np.zeros(2 * n_points)
+    x0[0::2] = np.arange(n_points) * 1.1 + 0.05
+    x0[1::2] = 0.07
+    return constraints, x0
+
+
+def bench_fleet(D: int, per_device: int, reps: int):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from ezpz_tpu.config import Config
+    from ezpz_tpu.constraints import Constraint
+    from ezpz_tpu.datatypes import DatumLineSegment, DatumPoint
+    from ezpz_tpu.models.compiled import compile_system
+    from ezpz_tpu.parallel import FleetSolver
+
+    p, q = DatumPoint(0, 1), DatumPoint(2, 3)
+    cs = [
+        Constraint.Vertical(DatumLineSegment(p, q)),
+        Constraint.Fixed(p.x_id, 0.0),
+        Constraint.Fixed(p.y_id, 0.0),
+        Constraint.Distance(p, q, 4.0),
+    ]
+    x0 = np.array([0.3, -0.2, 0.8, 3.1])
+    system = compile_system(cs, n_vars=4)
+
+    results = {}
+    for d in sorted({1, D}):
+        mesh = Mesh(np.array(jax.devices()[:d]), ("batch",))
+        fleet = FleetSolver(system, mesh=mesh, config=Config())
+        B = per_device * d
+        x0b = jnp.asarray(np.tile(x0, (B, 1)))
+        res = fleet.solve(x0b)  # warmup/compile
+        assert bool(np.asarray(res.converged).all())
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fleet.solve(x0b)
+            jax.block_until_ready(out.x)
+        dt = (time.perf_counter() - t0) / reps
+        results[d] = dict(batch=B, sec_per_solve=dt, sketches_per_sec=B / dt)
+    return results
+
+
+def bench_schur(D: int, points_per_device: int, reps: int):
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from ezpz_tpu.config import Config
+    from ezpz_tpu.parallel import ShardedSchurSolver
+
+    results = {}
+    for d in sorted({1, D}):
+        constraints, x0 = _chain_system(points_per_device * d)
+        mesh = Mesh(np.array(jax.devices()[:d]), ("d",))
+        solver = ShardedSchurSolver(constraints, len(x0), mesh=mesh, config=Config())
+        out = solver.solve(x0)  # warmup/compile
+        assert out["converged"] and out["satisfied"].all(), out
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            solver.solve(x0)
+        dt = (time.perf_counter() - t0) / reps
+        results[d] = dict(
+            n_vars=len(x0), sec_per_solve=dt, iterations=out["iterations"],
+            n_boundary=out["n_boundary"],
+        )
+    return results
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--devices", type=int, default=None)
+    ap.add_argument("--fleet-per-device", type=int, default=4096)
+    ap.add_argument("--schur-points-per-device", type=int, default=64)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        # A sitecustomize may force-select a TPU plugin via jax.config;
+        # honor the env var explicitly.
+        jax.config.update("jax_platforms", "cpu")
+
+    import ezpz_tpu  # noqa: F401  (x64 on)
+
+    D = args.devices or len(jax.devices())
+    if len(jax.devices()) < D:
+        print(f"error: need {D} devices, have {len(jax.devices())} "
+              "(set XLA_FLAGS=--xla_force_host_platform_device_count)",
+              file=sys.stderr)
+        return 1
+
+    fleet = bench_fleet(D, args.fleet_per_device, args.reps)
+    schur = bench_schur(D, args.schur_points_per_device, args.reps)
+
+    # Weak-scaling efficiency: same per-device work, ideal t(D) == t(1).
+    eff_fleet = fleet[1]["sec_per_solve"] / fleet[D]["sec_per_solve"] if D > 1 else 1.0
+    eff_schur = schur[1]["sec_per_solve"] / schur[D]["sec_per_solve"] if D > 1 else 1.0
+    print(json.dumps({
+        "metric": "weak_scaling_efficiency",
+        "devices": D,
+        "fleet": {str(k): v for k, v in fleet.items()},
+        "schur": {str(k): v for k, v in schur.items()},
+        "fleet_efficiency": round(eff_fleet, 3),
+        "schur_efficiency": round(eff_schur, 3),
+        "backend": jax.default_backend(),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

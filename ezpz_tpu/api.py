@@ -68,11 +68,14 @@ def _validate_and_densify(
 
 
 def _get_solver(system: CompiledSystem, constraints, weights, max_iterations: int):
+    import os
+
     key = (
         topology_key(constraints, system.n_vars),
         tuple(weights),
         max_iterations,
         str(system.dtype),
+        os.environ.get("EZPZ_TPU_DBG_JAC", ""),  # dbg-jac recompiles
     )
     hit = _SOLVER_CACHE.get(key)
     if hit is not None:

@@ -70,6 +70,9 @@ def main(argv=None) -> int:
                         help="Show the final values assigned to each point")
     parser.add_argument("--cpu", action="store_true",
                         help="Force the CPU backend (skip any TPU plugin)")
+    parser.add_argument("--profile", metavar="DIR", default=None,
+                        help="Capture a jax.profiler trace of the benchmark "
+                             "loop into DIR (view with TensorBoard/Perfetto)")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -113,10 +116,19 @@ def main(argv=None) -> int:
         return 1
 
     # Benchmark: re-solve NUM_ITERS_BENCHMARK times (main.rs:96-100).
+    # --profile captures a device trace of this loop (the TPU analog of the
+    # reference's `just flamegraph` dev workflow, justfile:35-36).
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
     t0 = time.perf_counter()
     for _ in range(NUM_ITERS_BENCHMARK):
         constraint_system.solve()
     duration_per_iter = (time.perf_counter() - t0) / NUM_ITERS_BENCHMARK
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"Profiler trace written to {args.profile}/")
 
     _print_warnings(solved.warnings)
     _print_unsatisfied(solved.unsatisfied, constraint_system.constraints)

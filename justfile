@@ -1,0 +1,56 @@
+# Dev recipes, mirroring the reference's justfile (`/root/reference/justfile`).
+# `just` is optional: every recipe is a one-liner you can paste into a shell.
+
+# Run the full test suite on the (faked 8-device) CPU backend.
+test:
+    python -m pytest tests/ -q
+
+# Fast signal: stop at the first failure.
+test-fast:
+    python -m pytest tests/ -x -q
+
+# Static checks: byte-compile everything and verify the test collection.
+lint:
+    python -m compileall -q ezpz_tpu tests benches tools bench.py __graft_entry__.py
+    python -m pytest tests/ -q --collect-only > /dev/null
+
+# Runnable-docs check (the analog of `cargo test --doc`).
+doctest:
+    python -m pytest --doctest-modules ezpz_tpu/config.py ezpz_tpu/utils/ids.py -q
+
+# Headline benchmark (one JSON line; runs on the TPU when available).
+bench:
+    python bench.py
+
+# The criterion-style per-case suite (solver_bench.rs equivalent).
+bench-suite *ARGS:
+    python benches/solver_bench.py {{ARGS}}
+
+# Scaling-efficiency benchmark on a faked N-device CPU mesh.
+bench-scaling N="8":
+    XLA_FLAGS=--xla_force_host_platform_device_count={{N}} JAX_PLATFORMS=cpu \
+        python benches/scaling_bench.py --devices {{N}}
+
+# Regenerate the massive_parallel_system fixture at N vars (4 per line).
+regen-massive-test N="2000":
+    python tools/gen_massive.py $(( {{N}} / 4 )) > tests/cases/massive_parallel_system/problem.md
+
+# Long-running randomized fuzzing (hypothesis, more examples than CI).
+fuzz:
+    EZPZ_TPU_FUZZ_EXAMPLES=2000 python -m pytest tests/test_fuzz.py -q
+
+# Quick fuzz sanity (the CI `fuzz-check` analog).
+fuzz-check:
+    python -m pytest tests/test_fuzz.py -q
+
+# Regenerate the residual-field visual-regression baselines.
+regen-viz-baselines:
+    TWENTY_TWENTY=overwrite python -m pytest tests/test_residual_viz.py -q
+
+# Capture a jax.profiler trace of the headline bench into ./profile/.
+profile:
+    EZPZ_TPU_PROFILE_DIR=profile python bench.py
+
+# Build the native C++ fast parser in-place.
+native:
+    python -c "from ezpz_tpu.native import build; build(verbose=True)"

@@ -10,6 +10,7 @@ no panic, not no-NaN).
 """
 
 import math
+import os
 
 import pytest
 from hypothesis import given, settings, strategies as st
@@ -111,7 +112,8 @@ def constraints(draw):
     )
 
 
-@settings(max_examples=20, deadline=None)
+# `just fuzz` raises the example count for long randomized runs.
+@settings(max_examples=int(os.environ.get("EZPZ_TPU_FUZZ_EXAMPLES", "20")), deadline=None)
 @given(
     cs=st.lists(constraints(), min_size=0, max_size=4),
     guesses=st.lists(vals, min_size=N_VARS, max_size=N_VARS),
