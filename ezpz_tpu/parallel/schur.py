@@ -265,10 +265,16 @@ class ShardedSchurSolver:
             for b in self.blocks
         )
 
-        def device_fn(x_i, x_b, imask_d, blocks_dev, rtol, stol, lam0):
+        def device_fn(x_i, x_b, imask_d, blocks_dev, rtol, stol, lam0, it0,
+                      deg0_in, it_limit):
             # Shapes inside shard_map: x_i (1, n_i), x_b (n_b,), blocks (1, ...).
+            # ``it0``/``deg0_in``/``it_limit`` support segmented (checkpoint/
+            # resume) driving: a fresh solve passes it0=0, deg0_in=False,
+            # it_limit=max_iterations; a resumed segment passes the saved
+            # iteration count and degenerate flags and a nearer limit.
             x_i = x_i[0]
             imask_d = imask_d[0]
+            deg0_in = deg0_in[0]
             blocks_dev = tuple(
                 (idx[0], par[0], w[0], cid[0]) for idx, par, w, cid in blocks_dev
             )
@@ -287,7 +293,6 @@ class ShardedSchurSolver:
                     worst,
                 )
 
-            r2_0, rinf_0, deg0, _w0, _, _ = None, None, None, None, None, None
             r2_0, rinf_0, deg0, _worst0 = global_r2_rinf(x_i, x_b)
 
             eye_i = jnp.eye(n_i, dtype=dtype)
@@ -300,20 +305,19 @@ class ShardedSchurSolver:
                 r2=r2_0,
                 rinf=rinf_0,
                 lam=jnp.asarray(lam0, dtype),
-                it=jnp.asarray(0, jnp.int32),
+                it=jnp.asarray(it0, jnp.int32),
                 done=jnp.asarray(False),
                 converged=jnp.asarray(False),
                 iterations=jnp.asarray(0, jnp.int32),
-                deg=deg0,
+                deg=deg0 | deg0_in,
             )
 
+            # Residual check in ``cond`` (see solver.solve_lm): a residual-
+            # converged solve never pays for a detection pass of the body.
             def cond(s):
-                return jnp.logical_and(~s["done"], s["it"] < max_iterations)
+                return (~s["done"]) & (s["it"] < it_limit) & (s["rinf"] > rtol)
 
             def body(s):
-                res_conv = s["rinf"] <= rtol
-                act = ~res_conv
-
                 _r2, _ri, deg_j, _w, jtj, jtr = self._local_eval(
                     x_local(s["x_i"], s["x_b"]), blocks_dev, want_jac=True
                 )
@@ -354,30 +358,30 @@ class ShardedSchurSolver:
                 x_b_new = s["x_b"] + d_b
                 r2_new, rinf_new, deg_r, _wn = global_r2_rinf(x_i_new, x_b_new)
                 accept = jnp.logical_and(~fail, r2_new < s["r2"])
-                take = jnp.logical_and(act, accept)
 
                 out = dict(s)
-                out["x_i"] = jnp.where(take, x_i_new, s["x_i"])
-                out["x_b"] = jnp.where(take, x_b_new, s["x_b"])
-                out["r2"] = jnp.where(take, r2_new, s["r2"])
-                out["rinf"] = jnp.where(take, rinf_new, s["rinf"])
+                out["x_i"] = jnp.where(accept, x_i_new, s["x_i"])
+                out["x_b"] = jnp.where(accept, x_b_new, s["x_b"])
+                out["r2"] = jnp.where(accept, r2_new, s["r2"])
+                out["rinf"] = jnp.where(accept, rinf_new, s["rinf"])
                 out["lam"] = jnp.where(
-                    act,
-                    jnp.where(accept, s["lam"] * LM_LAMBDA_DECR, s["lam"] * LM_LAMBDA_INCR),
-                    s["lam"],
+                    accept, s["lam"] * LM_LAMBDA_DECR, s["lam"] * LM_LAMBDA_INCR
                 )
-                out["deg"] = s["deg"] | jnp.where(act, deg_j | deg_r, jnp.zeros_like(deg_j))
-                step_conv = act & (~fail) & (step_inf <= stol)
-                done = res_conv | step_conv
-                out["done"] = done
-                out["converged"] = s["converged"] | done
-                out["iterations"] = jnp.where(done, s["it"], s["iterations"])
-                out["it"] = jnp.where(res_conv, s["it"], s["it"] + 1)
+                out["deg"] = s["deg"] | deg_j | deg_r
+                step_conv = (~fail) & (step_inf <= stol)
+                out["done"] = step_conv
+                out["converged"] = s["converged"] | step_conv
+                out["iterations"] = jnp.where(step_conv, s["it"], s["iterations"])
+                out["it"] = s["it"] + 1
                 return out
 
             final = jax.lax.while_loop(cond, body, state)
+            res_conv = final["rinf"] <= rtol
+            converged = final["converged"] | res_conv
             iterations = jnp.where(
-                final["done"], final["iterations"], jnp.asarray(max_iterations, jnp.int32)
+                final["done"],
+                final["iterations"],
+                jnp.where(res_conv, final["it"], jnp.asarray(max_iterations, jnp.int32)),
             )
             # Final satisfaction check (unweighted residuals, EPSILON).
             _r2f, _rf, _degf, worst_f = global_r2_rinf(final["x_i"], final["x_b"])
@@ -386,9 +390,12 @@ class ShardedSchurSolver:
                 final["x_i"][None, :],
                 final["x_b"],
                 iterations,
-                final["converged"],
+                converged,
                 final["deg"][None, :],
                 sat[None, :],
+                final["lam"],
+                final["it"],
+                final["done"] | res_conv,
             )
 
         try:
@@ -403,16 +410,16 @@ class ShardedSchurSolver:
         sharded = shard_map(
             device_fn,
             mesh=mesh,
-            in_specs=(P("d"), P(), P("d"), blk_specs, P(), P(), P()),
-            out_specs=(P("d"), P(), P(), P(), P("d"), P("d")),
+            in_specs=(P("d"), P(), P("d"), blk_specs, P(), P(), P(), P(),
+                      P("d"), P()),
+            out_specs=(P("d"), P(), P(), P(), P("d"), P("d"), P(), P(), P()),
             **_rep_kw,
         )
         self._block_arrays = block_arrays
         self._imask = imask
         self._sharded = jax.jit(sharded)
 
-    def solve(self, x0: np.ndarray):
-        c = self.config
+    def _scatter_x(self, x0) -> Tuple[np.ndarray, np.ndarray]:
         D = self.layout.n_devices
         x_i0 = np.zeros((D, self.n_i))
         for d in range(D):
@@ -421,28 +428,23 @@ class ShardedSchurSolver:
         x_b0 = np.asarray(
             [x0[g] for g in self.layout.boundary], dtype=np.float64
         ) if self.n_b else np.zeros((0,))
+        return x_i0, x_b0
 
-        x_i, x_b, iterations, converged, deg, sat = self._sharded(
-            jnp.asarray(x_i0),
-            jnp.asarray(x_b0),
-            self._imask,
-            self._block_arrays,
-            c.residual_tolerance,
-            c.step_tolerance,
-            c.initial_lambda,
-        )
+    def _gather_x(self, x0, x_i, x_b) -> np.ndarray:
         x_out = np.array(x0, dtype=np.float64)
         x_i = np.asarray(x_i)
-        for d in range(D):
+        for d in range(self.layout.n_devices):
             ids = self.layout.interior[d]
             x_out[ids] = x_i[d, : len(ids)]
         x_out[self.layout.boundary] = np.asarray(x_b)
+        return x_out
 
+    def _outcome(self, x_out, iterations, converged, deg, sat):
         satisfied = np.ones(self.n_constraints, dtype=bool)
         degenerate = np.zeros(self.n_constraints, dtype=bool)
         sat = np.asarray(sat)
         deg = np.asarray(deg)
-        for d in range(D):
+        for d in range(self.layout.n_devices):
             for s_, cid in enumerate(self.cons_map[d]):
                 if cid >= 0:
                     satisfied[cid] = sat[d, s_]
@@ -456,3 +458,70 @@ class ShardedSchurSolver:
             n_boundary=self.n_b,
             n_interior=self.n_i,
         )
+
+    def _run_segment(self, x_i0, x_b0, lam0, it0, deg0, it_limit):
+        c = self.config
+        return self._sharded(
+            jnp.asarray(x_i0),
+            jnp.asarray(x_b0),
+            self._imask,
+            self._block_arrays,
+            c.residual_tolerance,
+            c.step_tolerance,
+            lam0,
+            it0,
+            jnp.asarray(deg0),
+            it_limit,
+        )
+
+    def solve(self, x0: np.ndarray):
+        c = self.config
+        D = self.layout.n_devices
+        x_i0, x_b0 = self._scatter_x(x0)
+        deg0 = np.zeros((D, self.n_cons_max + 1), dtype=bool)
+        x_i, x_b, iterations, converged, deg, sat, _lam, _it, _fin = (
+            self._run_segment(x_i0, x_b0, c.initial_lambda, 0, deg0,
+                              c.max_iterations)
+        )
+        x_out = self._gather_x(x0, x_i, x_b)
+        return self._outcome(x_out, iterations, converged, deg, sat)
+
+    def solve_checkpointed(self, x0: np.ndarray, checkpoint_path: str,
+                           checkpoint_every: int = 5):
+        """Segmented solve with host-side checkpoint/resume.
+
+        Runs the LM loop ``checkpoint_every`` iterations at a time, saving
+        (x, lambda, iteration, degenerate flags) to ``checkpoint_path`` after
+        each segment; if the file already exists (same topology), the solve
+        resumes from it instead of ``x0``. The reference has no equivalent
+        (solves are milliseconds); this exists for giant sharded solves where
+        preemption matters (SURVEY.md section 5 "checkpoint/resume").
+        """
+        from ..checkpoint import load_state, save_state, topology_fingerprint
+
+        c = self.config
+        fp = topology_fingerprint(self.cons_map, self.layout.local_to_global)
+        state = load_state(checkpoint_path, fp)
+        if state is None:
+            x_i, x_b = self._scatter_x(x0)
+            lam = float(c.initial_lambda)
+            it = 0
+            deg = np.zeros((self.layout.n_devices, self.n_cons_max + 1), dtype=bool)
+        else:
+            x_i, x_b, lam, it, deg = state
+
+        while True:
+            limit = min(it + checkpoint_every, c.max_iterations)
+            (x_i, x_b, iterations, converged, deg_out, sat, lam_out, it_out,
+             finished) = self._run_segment(x_i, x_b, lam, it, deg, limit)
+            x_i = np.asarray(x_i)
+            x_b = np.asarray(x_b)
+            deg = np.asarray(deg_out)
+            lam = float(lam_out)
+            it = int(it_out)
+            save_state(checkpoint_path, fp, x_i, x_b, lam, it, deg)
+            if bool(finished) or it >= c.max_iterations:
+                break
+
+        x_out = self._gather_x(x0, x_i, x_b)
+        return self._outcome(x_out, iterations, converged, deg_out, sat)
