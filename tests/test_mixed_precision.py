@@ -136,6 +136,60 @@ def test_mixed_batch_params_massive_fixture():
         np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x), atol=1e-6)
 
 
+def test_mixed_large_coordinates():
+    """Coordinates ~5000: an absolute 5e-6 inf-norm is below f32 round-off,
+    so the coarse phase cannot reach it — the capped phase-1 plus the f64
+    refinement must still deliver 1e-8."""
+    constraints, x0 = _square_system()
+    # Translate the square: fix p0 at (5000, 5000) instead of the origin.
+    constraints[0] = Constraint.Fixed(0, 5000.0)
+    constraints[1] = Constraint.Fixed(1, 5000.0)
+    x0 = x0 + 5000.0
+    res = _mixed_solve(constraints, x0)
+    assert bool(res.converged)
+    assert float(jnp.max(jnp.abs(res.residual))) <= 1e-8
+    ref = _f64_solve(constraints, x0)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), atol=1e-5)
+
+
+def test_multi_topology_solver_matches_per_bucket():
+    """MultiTopologySolver (all buckets in one jitted call) must agree with
+    per-bucket BatchSolver dispatches."""
+    import os
+
+    from ezpz_tpu.batch import MultiTopologySolver
+    from ezpz_tpu.models.blocks import build_buckets
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    txt = open(os.path.join(here, "cases", "massive_parallel_system", "problem.md")).read()
+    cs = Problem.from_str(txt).to_constraint_system()
+    constraints = [r.constraint for r in cs.constraints]
+    x0 = np.zeros(len(cs.initial_guesses))
+    for vid, val in cs.initial_guesses:
+        x0[vid] = val
+
+    buckets = build_buckets(constraints, len(x0))
+    assert len(buckets) >= 2  # singleton-fixed + fixed+vertical
+    M = 3
+    x0s = [jnp.asarray(np.tile(x0[b.var_index], (M, 1))) for b in buckets]
+    parss = [tuple(jnp.asarray(np.tile(p, (M, 1, 1))) for p in b.pars)
+             for b in buckets]
+
+    for precision in ("f64", "mixed"):
+        fused = MultiTopologySolver([b.system for b in buckets], Config(),
+                                    precision=precision)
+        outs = fused.solve(x0s, parss)
+        for bucket, xb, pars, out in zip(buckets, x0s, parss, outs):
+            assert bool(np.asarray(out.converged).all())
+            assert bool(np.asarray(out.satisfied).all())
+            ref = BatchSolver(bucket.system, Config(), batch_params=True,
+                              precision=precision).solve(xb, pars)
+            np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x),
+                                       atol=1e-12)
+            np.testing.assert_array_equal(np.asarray(out.iterations),
+                                          np.asarray(ref.iterations))
+
+
 def test_mixed_inconsistent_terminates():
     """Least-squares compromise systems (residual can't reach tolerance)
     must still terminate with converged=False or step-converge, not hang."""
