@@ -1,0 +1,410 @@
+"""Pallas fused fleet solver: the whole f32 LM loop in VMEM.
+
+The vmapped ``while_loop`` path keeps its carry in HBM — every iteration
+re-reads and re-writes the full fleet state. For tiny topologies (a handful
+of variables per sketch) the loop is pure VPU elementwise math, so a Pallas
+kernel that loads a tile of sketches into VMEM ONCE, iterates to
+convergence, and writes the results back eliminates the per-iteration HBM
+traffic.
+
+Mosaic (the Pallas TPU compiler) cannot lower several things the normal
+JAX formulation relies on, which dictates the kernel's shape:
+
+* no constant index arrays (gathers) / scatter-adds — evaluation is fully
+  unrolled with static Python indexing;
+* no vmapped ``while_loop`` (vector loop predicates) — the loop is written
+  at tile level with ``cond = max(active_int) > 0``;
+* heterogeneous loop carries mis-infer layouts — ALL state packs into two
+  uniform 2-D carries (one f32, one i32; no i1 carries);
+* (1, TILE) rows waste 7/8 of the VPU's sublanes — every per-sketch scalar
+  is laid out as an (8, TILE/8) block (``SUB`` sublanes x lanes), so each
+  elementwise op runs on full native f32 tiles;
+* Jacobians via per-column ``jax.jvp`` with one-hot tangents: the
+  constraint kernels are elementwise and accept any indexable of rows, so
+  variables travel as Python lists of (8, TILE/8) blocks — no stacking.
+
+LM semantics match ``solver.solve_lm`` exactly (accept/reject, lambda
+schedule, per-lane freezing, iteration counting). Used as the coarse phase
+of the mixed-precision fleet solve; f64 is not supported by Mosaic, so the
+f64 refinement stays on the XLA path.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import LM_LAMBDA_DECR, LM_LAMBDA_INCR
+from ..models.compiled import CompiledSystem
+
+DEFAULT_TILE = 16384
+SUB = 8  # sublanes per scalar-row block (f32 native tile height)
+
+
+# -- static instance records --------------------------------------------------
+
+
+def _instance_list(system32: CompiledSystem):
+    """(fn, ids, block_idx, inst_idx, p_k, weight, cid) per lowered instance."""
+    out = []
+    for bi, b in enumerate(system32.blocks):
+        pk = int(b.par.shape[1])
+        for i in range(b.idx.shape[0]):
+            out.append((
+                b.spec.fn,
+                [int(j) for j in b.idx[i]],
+                bi, i, pk,
+                np.float32(b.weight[i]),
+                int(b.cid[i]),
+            ))
+    return out
+
+
+# -- tile-level evaluation (rows are (SUB, C) blocks) -------------------------
+
+
+def _inst_params(pars_t, bi, i, pk):
+    """List of pk (SUB, C) parameter blocks for instance i of block bi."""
+    return [
+        pars_t[bi][(i * pk + k) * SUB:(i * pk + k + 1) * SUB]
+        for k in range(pk)
+    ]
+
+
+def _residual_rows(system32, instances, xrows, pars_t, shape):
+    """Weighted residual rows [(SUB, C)...] + per-constraint degenerate rows."""
+    rows: List = []
+    deg = [None] * system32.n_constraints
+    for fn, ids, bi, i, pk, w, cid in instances:
+        v = [xrows[j] for j in ids]  # list of (SUB, C)
+        p = _inst_params(pars_t, bi, i, pk)
+        res, dg = fn(v, p)  # (dim, SUB, C) — kernels are elementwise
+        dg = jnp.broadcast_to(dg, shape)
+        for d in range(res.shape[0]):
+            rows.append(res[d] * w)
+        deg[cid] = dg if deg[cid] is None else (deg[cid] | dg)
+    deg = [d if d is not None else jnp.zeros(shape, jnp.bool_) for d in deg]
+    return rows, deg
+
+
+def _jac_rows(system32, instances, xrows, pars_t, shape):
+    """Residual rows + JtJ/Jtr as lists of (SUB, C) blocks + deg rows.
+
+    Jacobian columns via jvp with one-hot tangents; contractions unroll
+    over the tiny residual dimension — everything stays elementwise.
+    """
+    n = system32.n_vars
+    zero = jnp.zeros(shape, jnp.float32)
+    one = jnp.ones(shape, jnp.float32)
+    jtj = [[zero for _ in range(n)] for _ in range(n)]
+    jtr = [zero for _ in range(n)]
+    rows: List = []
+    deg = [None] * system32.n_constraints
+
+    for fn, ids, bi, i, pk, w, cid in instances:
+        nv = len(ids)
+        v = [xrows[j] for j in ids]
+        p = _inst_params(pars_t, bi, i, pk)
+
+        res, dg = fn(v, p)
+        dg = jnp.broadcast_to(dg, shape)
+        dim = res.shape[0]
+        cols = []  # cols[a] is (dim, SUB, C) — d residual / d var_a
+        for a in range(nv):
+            tangent = [one if r == a else zero for r in range(nv)]
+            _, (dres, _ddg) = jax.jvp(lambda vv: fn(vv, p), (v,), (tangent,))
+            cols.append(dres)
+
+        wres = [res[d] * w for d in range(dim)]
+        rows.extend(wres)
+        for a, ga in enumerate(ids):
+            acc = (cols[a][0] * w) * wres[0]
+            for d in range(1, dim):
+                acc = acc + (cols[a][d] * w) * wres[d]
+            jtr[ga] = jtr[ga] + acc
+            for b_, gb in enumerate(ids):
+                acc2 = (cols[a][0] * w) * (cols[b_][0] * w)
+                for d in range(1, dim):
+                    acc2 = acc2 + (cols[a][d] * w) * (cols[b_][d] * w)
+                jtj[ga][gb] = jtj[ga][gb] + acc2
+        deg[cid] = dg if deg[cid] is None else (deg[cid] | dg)
+    deg = [d if d is not None else jnp.zeros(shape, jnp.bool_) for d in deg]
+    return rows, jtj, jtr, deg
+
+
+def _chol_solve_rows(A, b):
+    """Cholesky-Crout on lists of (SUB, C) blocks. Returns (x_rows,
+    fail_row): per-lane NaN on the diagonal marks non-SPD; failed lanes'
+    solves are zeroed (mirrors ops.linalg.spd_solve)."""
+    n = len(b)
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+    fail = jnp.isnan(L[0][0])
+    for i in range(1, n):
+        fail = fail | jnp.isnan(L[i][i])
+    for i in range(n):
+        di = L[i][i]
+        L[i][i] = jnp.where(jnp.isnan(di) | (di == 0.0), 1.0, di)
+        for k in range(i):
+            L[i][k] = jnp.where(jnp.isnan(L[i][k]), 0.0, L[i][k])
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    zero = jnp.zeros_like(b[0])
+    x = [jnp.where(fail, zero, xi) for xi in x]
+    return x, fail
+
+
+def _rows_max_abs(rows):
+    m = jnp.abs(rows[0])
+    for r in rows[1:]:
+        m = jnp.maximum(m, jnp.abs(r))
+    return m
+
+
+def _rows_sumsq(rows):
+    s = rows[0] * rows[0]
+    for r in rows[1:]:
+        s = s + r * r
+    return s
+
+
+# -- the kernel ---------------------------------------------------------------
+
+
+def make_coarse_fleet_solver(
+    system32: CompiledSystem,
+    max_iterations: int,
+    residual_tolerance: float,
+    step_tolerance: float,
+    initial_lambda: float,
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+):
+    """Build ``run(x_p, pars_p) -> (x_p', iterations_p, converged_p, deg_p)``
+    over the packed fleet layout (see ``pack_fleet``/``unpack_fleet``):
+    every per-sketch scalar occupies an (SUB, B/SUB) block, tiled along the
+    second axis in chunks of ``tile``/SUB columns. B must be a multiple of
+    ``tile`` and ``tile`` a multiple of 128*SUB.
+    """
+    assert system32.dtype == jnp.float32, system32.dtype
+    assert tile % (128 * SUB) == 0, tile
+    n = system32.n_vars
+    n_cons = system32.n_constraints
+    instances = _instance_list(system32)
+    shapes = [(int(b.idx.shape[0]), int(b.par.shape[1])) for b in system32.blocks]
+    # All scalars concrete f32: under x64 mode weak Python floats trace as
+    # f64 constants, which Mosaic refuses.
+    rtol = np.float32(residual_tolerance)
+    stol = np.float32(step_tolerance)
+    lam0 = np.float32(initial_lambda)
+    lam_decr = np.float32(LM_LAMBDA_DECR)
+    lam_incr = np.float32(LM_LAMBDA_INCR)
+
+    def row(F, i):
+        return F[i * SUB:(i + 1) * SUB]
+
+    def kernel(x0_ref, *rest):
+        par_refs = rest[: len(shapes)]
+        x_ref, it_ref, conv_ref, deg_ref = rest[len(shapes):]
+
+        X0full = x0_ref[:]  # (n*SUB, C)
+        C = X0full.shape[1]
+        shape = (SUB, C)
+        pars_t = [ref[:] for ref in par_refs]
+        x0rows = [row(X0full, j) for j in range(n)]
+
+        r0_rows, deg0 = _residual_rows(system32, instances, x0rows, pars_t, shape)
+        m = len(r0_rows)
+
+        # The ENTIRE loop state packs into two uniform 2-D carries (one f32,
+        # one i32): heterogeneous carries mis-infer scf.yield layouts and i1
+        # vector carries fail to legalize.
+        #   F rows: [X(n) | r(m) | r2 | lam]
+        #   I rows: [it | iterations | done | deg(n_cons)]
+        F0 = jnp.concatenate(
+            x0rows + r0_rows
+            + [_rows_sumsq(r0_rows), jnp.full(shape, lam0, jnp.float32)],
+            axis=0,
+        )
+        I0 = jnp.concatenate(
+            [jnp.zeros((3 * SUB, C), jnp.int32)]
+            + [d.astype(jnp.int32) for d in deg0],
+            axis=0,
+        )
+
+        def unpack(F, I):
+            xrows = [row(F, j) for j in range(n)]
+            r = [row(F, n + i) for i in range(m)]
+            r2 = row(F, n + m)
+            lam = row(F, n + m + 1)
+            it = row(I, 0)
+            iterations = row(I, 1)
+            done = row(I, 2) > 0
+            deg = [row(I, 3 + i) for i in range(n_cons)]
+            return xrows, r, r2, lam, it, iterations, done, deg
+
+        def cond(carry):
+            F, I = carry
+            _x, r, _r2, _lam, it, _its, done, _deg = unpack(F, I)
+            active = (~done) & (it < max_iterations) & (_rows_max_abs(r) > rtol)
+            # Scalar predicate via int32 max-reduce (jnp.any over a bool
+            # vector trips Mosaic's squeeze-to-scalar rule).
+            return jnp.max(active.astype(jnp.int32)) > 0
+
+        def body(carry):
+            F, I = carry
+            xrows, r0_, r2_0, lam_0, it_0, iters_0, done_0, deg_0 = unpack(F, I)
+            rinf = _rows_max_abs(r0_)
+            res_now = (rinf <= rtol) & ~done_0
+            act = ~done_0 & ~res_now
+
+            _rows, jtj, jtr, deg_j = _jac_rows(
+                system32, instances, xrows, pars_t, rinf.shape
+            )
+            for i in range(n):
+                jtj[i][i] = jtj[i][i] + lam_0
+            d_rows, fail = _chol_solve_rows(jtj, [-t for t in jtr])
+            step_inf = _rows_max_abs(d_rows)
+
+            x_new = [xr + dr for xr, dr in zip(xrows, d_rows)]
+            r_new, deg_r = _residual_rows(
+                system32, instances, x_new, pars_t, rinf.shape
+            )
+            r2_new = _rows_sumsq(r_new)
+            accept = (~fail) & (r2_new < r2_0)
+
+            take = act & accept
+            x_out = [jnp.where(take, xn, xo) for xn, xo in zip(x_new, xrows)]
+            r_out = [jnp.where(take, rn, ro) for rn, ro in zip(r_new, r0_)]
+            r2 = jnp.where(take, r2_new, r2_0)
+            lam = jnp.where(
+                act,
+                jnp.where(accept, lam_0 * lam_decr, lam_0 * lam_incr),
+                lam_0,
+            )
+            deg = [
+                dj | ((act & (dgj | dgr)).astype(jnp.int32))
+                for dj, dgj, dgr in zip(deg_0, deg_j, deg_r)
+            ]
+            step_conv = act & (~fail) & (step_inf <= stol)
+            done = done_0 | res_now | step_conv
+            iterations = jnp.where(res_now | step_conv, it_0, iters_0)
+            it = jnp.where(act, it_0 + 1, it_0)
+
+            F_out = jnp.concatenate(x_out + r_out + [r2, lam], axis=0)
+            I_out = jnp.concatenate(
+                [it, iterations, done.astype(jnp.int32)] + deg, axis=0
+            )
+            return (F_out, I_out)
+
+        F_f, I_f = jax.lax.while_loop(cond, body, (F0, I0))
+        x_f, r_f, _r2, _lam, it_f, iters_f, done_f, deg_f = unpack(F_f, I_f)
+        res_conv = _rows_max_abs(r_f) <= rtol
+        converged = done_f | res_conv
+        iterations = jnp.where(
+            done_f,
+            iters_f,
+            jnp.where(res_conv, it_f, jnp.full_like(it_f, max_iterations)),
+        )
+        x_ref[:] = jnp.concatenate(x_f, axis=0)
+        it_ref[:] = iterations
+        conv_ref[:] = converged.astype(jnp.int32)
+        deg_ref[:] = jnp.concatenate(deg_f, axis=0)
+
+    def run(x_p: jnp.ndarray, pars_p: Tuple[jnp.ndarray, ...]):
+        Cfull = x_p.shape[1]
+        B = Cfull * SUB
+        tile_c = tile // SUB
+        assert Cfull % tile_c == 0, (B, tile)
+        grid = (Cfull // tile_c,)
+
+        def col_spec(rows):
+            # np.int32(0): under x64 mode a literal 0 traces as i64, which
+            # Mosaic refuses to return from an index map.
+            return pl.BlockSpec((rows, tile_c), lambda i: (np.int32(0), i),
+                                memory_space=pltpu.VMEM)
+
+        in_specs = [col_spec(n * SUB)] + [
+            col_spec(max(nk * pk, 1) * SUB) for nk, pk in shapes
+        ]
+        out_shape = (
+            jax.ShapeDtypeStruct((n * SUB, Cfull), jnp.float32),
+            jax.ShapeDtypeStruct((SUB, Cfull), jnp.int32),
+            jax.ShapeDtypeStruct((SUB, Cfull), jnp.int32),
+            jax.ShapeDtypeStruct((n_cons * SUB, Cfull), jnp.int32),
+        )
+        out_specs = (col_spec(n * SUB), col_spec(SUB), col_spec(SUB),
+                     col_spec(n_cons * SUB))
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            out_shape=out_shape,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            interpret=interpret,
+        )(x_p, *pars_p)
+
+    return run
+
+
+# -- host-side packing --------------------------------------------------------
+
+
+def pack_rows(a: jnp.ndarray) -> jnp.ndarray:
+    """(B, k) -> (k*SUB, B/SUB): per-sketch scalar j becomes an (SUB, B/SUB)
+    block at rows [j*SUB, (j+1)*SUB)."""
+    B, k = a.shape
+    assert B % SUB == 0, B
+    # (B, k) -> (SUB, B/SUB, k) -> (k, SUB, B/SUB) -> (k*SUB, B/SUB)
+    return jnp.transpose(
+        jnp.asarray(a, jnp.float32).reshape(SUB, B // SUB, k), (2, 0, 1)
+    ).reshape(k * SUB, B // SUB)
+
+
+def unpack_rows(p: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """Inverse of ``pack_rows``: (k*SUB, B/SUB) -> (B, k)."""
+    kS, C = p.shape
+    k = kS // SUB
+    out = jnp.transpose(p.reshape(k, SUB, C), (1, 2, 0)).reshape(SUB * C, k)
+    return out if dtype is None else out.astype(dtype)
+
+
+def pack_fleet(x0: jnp.ndarray, system32: CompiledSystem, pars):
+    """Batch-major inputs -> packed kernel layout.
+
+    ``x0``: (B, n_vars); ``pars``: tuple of (B, n_k, p_k) aligned with
+    ``system32.blocks``. Returns (x_p, pars_p).
+    """
+    x_p = pack_rows(x0)
+    pars_p = []
+    for b, p in zip(system32.blocks, pars):
+        B = p.shape[0]
+        nk, pk = int(b.idx.shape[0]), int(b.par.shape[1])
+        if nk * pk == 0:
+            pars_p.append(jnp.zeros((SUB, B // SUB), jnp.float32))
+        else:
+            pars_p.append(pack_rows(jnp.asarray(p, jnp.float32).reshape(B, nk * pk)))
+    return x_p, tuple(pars_p)

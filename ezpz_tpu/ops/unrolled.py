@@ -1,0 +1,113 @@
+"""Fully-unrolled system evaluation for small topologies.
+
+``CompiledSystem`` evaluates with constant-index gathers (``x[idx]``) and
+scatter-adds — fine for XLA, but (a) Pallas kernels may not capture those
+constant index arrays, and (b) for tiny systems the gather/scatter machinery
+costs more than the math. ``UnrolledSystem`` evaluates the SAME compiled
+blocks with *static Python indexing*: every variable pick is ``x[int(j)]``,
+every JtJ contribution lands with ``at[i, j]`` on literal ints, weights fold
+in as Python floats. The traced program contains no constant arrays at all,
+which makes it legal inside a Pallas kernel body and cheap for XLA to fuse.
+
+Exposes the subset of the ``CompiledSystem`` interface the LM loop uses
+(``dtype``, ``n_vars``, ``n_constraints``, ``residual_and_flags``,
+``normal_equations``), so ``solver.solve_lm`` runs on it unchanged. Use for
+topologies with up to a few dozen rows (trace size grows linearly with
+instance count); the gather/scatter path remains the default elsewhere.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.compiled import CompiledSystem, _jac_with_value
+
+
+class UnrolledSystem:
+    def __init__(self, system: CompiledSystem):
+        self.system = system
+        self.dtype = system.dtype
+        self.n_vars = system.n_vars
+        self.n_constraints = system.n_constraints
+        self.n_rows = system.n_rows
+
+    def _instances(self, pars):
+        """Yield (block_index, instance_index, fn, var_ids, params, weight,
+        cid) with params traced per-instance when ``pars`` is given."""
+        for bi, b in enumerate(self.system.blocks):
+            block_pars = None if pars is None else pars[bi]
+            for i in range(b.idx.shape[0]):
+                if block_pars is None:
+                    p = jnp.asarray(b.par[i], self.dtype)
+                else:
+                    p = block_pars[i]
+                yield (
+                    b.spec.fn,
+                    [int(j) for j in b.idx[i]],
+                    p,
+                    float(b.weight[i]),
+                    int(b.cid[i]),
+                )
+
+    def residual_and_flags(self, x: jnp.ndarray, pars=None):
+        rows = []
+        deg = [jnp.asarray(False)] * self.n_constraints
+        for fn, ids, p, w, cid in self._instances(pars):
+            v = jnp.stack([x[j] for j in ids])
+            res, dg = fn(v, p)
+            rows.append(res * w)
+            deg[cid] = deg[cid] | dg
+        r = (jnp.concatenate(rows) if rows
+             else jnp.zeros((0,), self.dtype))
+        return r, jnp.stack(deg) if deg else jnp.zeros((0,), jnp.bool_)
+
+    def normal_equations(self, x: jnp.ndarray, pars=None):
+        n = self.n_vars
+        zero = jnp.zeros((), self.dtype)
+        # Accumulate JtJ/Jtr as Python lists of traced scalars and stack
+        # ONCE at the end: no gathers, no scatter-adds, no dot_general —
+        # only elementwise adds/muls, which both XLA and Mosaic (Pallas)
+        # lower happily. Contractions unroll over the tiny residual dim.
+        jtj_acc = [[zero for _ in range(n)] for _ in range(n)]
+        jtr_acc = [zero for _ in range(n)]
+        rows = []
+        deg = [jnp.asarray(False)] * self.n_constraints
+        for fn, ids, p, w, cid in self._instances(pars):
+            v = jnp.stack([x[j] for j in ids])
+            jac, (res, dg) = _jac_with_value(fn, v, p)
+            wjac = jac * w  # (dim, nv)
+            wres = res * w  # (dim,)
+            dim = wjac.shape[0]
+            for a, ga in enumerate(ids):
+                acc = wjac[0, a] * wres[0]
+                for d in range(1, dim):
+                    acc = acc + wjac[d, a] * wres[d]
+                jtr_acc[ga] = jtr_acc[ga] + acc
+                for b_, gb in enumerate(ids):
+                    acc2 = wjac[0, a] * wjac[0, b_]
+                    for d in range(1, dim):
+                        acc2 = acc2 + wjac[d, a] * wjac[d, b_]
+                    jtj_acc[ga][gb] = jtj_acc[ga][gb] + acc2
+            rows.append(wres)
+            deg[cid] = deg[cid] | dg
+        jtj = jnp.stack([jnp.stack(row) for row in jtj_acc])
+        jtr = jnp.stack(jtr_acc)
+        r = (jnp.concatenate(rows) if rows
+             else jnp.zeros((0,), self.dtype))
+        return r, jtj, jtr, jnp.stack(deg) if deg else jnp.zeros((0,), jnp.bool_)
+
+    def jacobian_dense(self, x: jnp.ndarray, pars=None):
+        J = jnp.zeros((self.n_rows, self.n_vars), self.dtype)
+        row = 0
+        for fn, ids, p, w, cid in self._instances(pars):
+            v = jnp.stack([x[j] for j in ids])
+            jac, (_res, _dg) = _jac_with_value(fn, v, p)
+            wjac = jac * w
+            for d in range(wjac.shape[0]):
+                for a, ga in enumerate(ids):
+                    J = J.at[row + d, ga].add(wjac[d, a])
+            row += wjac.shape[0]
+        return J

@@ -95,16 +95,22 @@ def solve_lm(
     stol = jnp.asarray(step_tolerance, dtype)
 
     # The reference checks the residual tolerance at the TOP of each
-    # iteration (newton.rs:50-60). Expressing that check in the while_loop's
-    # ``cond`` — instead of predicating the body — makes a residual-converged
-    # solve skip the final body entirely (one whole Jacobian + factorization
-    # + trial evaluation saved; a third of the work for typical 2-iteration
-    # solves). Semantics are identical: the loop exits before taking a step,
-    # ``it`` counts the steps actually attempted.
+    # iteration (newton.rs:50-60). That check lives in BOTH places here:
+    # - in ``cond``: an unbatched solve exits without paying for a final
+    #   detection pass of the body (a third of the work for typical
+    #   2-iteration solves);
+    # - as per-lane predication (``act``) in the body: under ``vmap`` the
+    #   batched while_loop keeps running until the slowest lane finishes,
+    #   and converged lanes must FREEZE — continuing to step them would
+    #   drift underconstrained solutions and corrupt per-lane iteration
+    #   counts. (Frozen lanes also include step-converged ones.)
     def cond(s: LMState):
         return (~s.done) & (s.it < max_iterations) & (jnp.max(jnp.abs(s.r)) > rtol)
 
     def body(s: LMState) -> LMState:
+        res_now = (jnp.max(jnp.abs(s.r)) <= rtol) & ~s.done
+        act = ~s.done & ~res_now
+
         if debug_jac:
             jax.debug.print(
                 "dbg-jac: iteration {it}, dense Jacobian =\n{j}",
@@ -120,24 +126,30 @@ def solve_lm(
         r2_new = jnp.sum(r_new * r_new)
         accept = jnp.logical_and(~fail, r2_new < s.r2)
 
-        x = jnp.where(accept, x_new, s.x)
-        r = jnp.where(accept, r_new, s.r)
-        r2 = jnp.where(accept, r2_new, s.r2)
-        lam = jnp.where(accept, s.lam * LM_LAMBDA_DECR, s.lam * LM_LAMBDA_INCR)
-        deg = s.deg | deg_j | deg_r
+        take = act & accept
+        x = jnp.where(take, x_new, s.x)
+        r = jnp.where(take, r_new, s.r)
+        r2 = jnp.where(take, r2_new, s.r2)
+        lam = jnp.where(
+            act,
+            jnp.where(accept, s.lam * LM_LAMBDA_DECR, s.lam * LM_LAMBDA_INCR),
+            s.lam,
+        )
+        deg = s.deg | jnp.where(act, deg_j | deg_r, jnp.zeros_like(deg_j))
 
         # Step-size convergence at the bottom (newton.rs:134-139); reports
         # the index of the iteration that took the step.
-        step_conv = (~fail) & (step_inf <= stol)
-        iterations = jnp.where(step_conv, s.it, s.iterations)
+        step_conv = act & (~fail) & (step_inf <= stol)
+        done = s.done | res_now | step_conv
+        iterations = jnp.where(res_now | step_conv, s.it, s.iterations)
         return LMState(
             x=x,
             r=r,
             r2=r2,
             lam=lam,
-            it=s.it + 1,
-            done=step_conv,
-            converged=s.converged | step_conv,
+            it=jnp.where(act, s.it + 1, s.it),
+            done=done,
+            converged=s.converged | res_now | step_conv,
             iterations=iterations,
             deg=deg,
         )
@@ -293,11 +305,14 @@ def solve_lm_cg(
         deg=deg0,
     )
 
-    # Residual check in ``cond`` (see solve_lm): no detection pass.
+    # Residual check in ``cond`` + per-lane freezing (see solve_lm).
     def cond(s: LMState):
         return (~s.done) & (s.it < max_iterations) & (jnp.max(jnp.abs(s.r)) > rtol)
 
     def body(s: LMState) -> LMState:
+        res_now = (jnp.max(jnp.abs(s.r)) <= rtol) & ~s.done
+        act = ~s.done & ~res_now
+
         _r, jtr, wjacs, deg_j = system.jacobian_factors(s.x, pars)
         lam = s.lam
 
@@ -312,21 +327,27 @@ def solve_lm_cg(
         r2_new = jnp.sum(r_new * r_new)
         accept = r2_new < s.r2
 
-        x = jnp.where(accept, x_new, s.x)
-        r = jnp.where(accept, r_new, s.r)
-        r2 = jnp.where(accept, r2_new, s.r2)
-        lam_next = jnp.where(accept, s.lam * LM_LAMBDA_DECR, s.lam * LM_LAMBDA_INCR)
-        deg = s.deg | deg_j | deg_r
-        step_conv = step_inf <= stol
-        iterations = jnp.where(step_conv, s.it, s.iterations)
+        take = act & accept
+        x = jnp.where(take, x_new, s.x)
+        r = jnp.where(take, r_new, s.r)
+        r2 = jnp.where(take, r2_new, s.r2)
+        lam_next = jnp.where(
+            act,
+            jnp.where(accept, s.lam * LM_LAMBDA_DECR, s.lam * LM_LAMBDA_INCR),
+            s.lam,
+        )
+        deg = s.deg | jnp.where(act, deg_j | deg_r, jnp.zeros_like(deg_j))
+        step_conv = act & (step_inf <= stol)
+        done = s.done | res_now | step_conv
+        iterations = jnp.where(res_now | step_conv, s.it, s.iterations)
         return LMState(
             x=x,
             r=r,
             r2=r2,
             lam=lam_next,
-            it=s.it + 1,
-            done=step_conv,
-            converged=s.converged | step_conv,
+            it=jnp.where(act, s.it + 1, s.it),
+            done=done,
+            converged=s.converged | res_now | step_conv,
             iterations=iterations,
             deg=deg,
         )
@@ -418,12 +439,17 @@ def solve_lm_mixed(
         deg=coarse.deg | deg0,
     )
 
-    # Residual check in ``cond`` (see solve_lm): a converged refinement never
-    # pays for the extra detection pass.
+    # Residual check in ``cond`` AND per-lane freezing in the body — same
+    # dual structure as solve_lm (see the comment there): the cond saves the
+    # detection pass for unbatched solves, the ``act`` predication freezes
+    # converged lanes under vmap.
     def cond(s: LMState):
         return (~s.done) & (s.it < refine_iterations) & (jnp.max(jnp.abs(s.r)) > rtol)
 
     def body(s: LMState) -> LMState:
+        res_now = (jnp.max(jnp.abs(s.r)) <= rtol) & ~s.done
+        act = ~s.done & ~res_now
+
         jtj, jtr, deg_j = system32.refine_normal_equations(s.x, s.r, pars32)
         a = jtj + s.lam * eye32
         d32, fail = spd_solve(a, -jtr)
@@ -435,16 +461,24 @@ def solve_lm_mixed(
         r2_new = jnp.sum(r_new * r_new)
         accept = jnp.logical_and(~fail, r2_new < s.r2)
 
-        x = jnp.where(accept, x_new, s.x)
-        r = jnp.where(accept, r_new, s.r)
-        r2 = jnp.where(accept, r2_new, s.r2)
-        lam = jnp.where(accept, s.lam * LM_LAMBDA_DECR, s.lam * LM_LAMBDA_INCR)
-        deg = s.deg | deg_j | deg_r
-        step_conv = (~fail) & (step_inf <= stol)
-        iterations = jnp.where(step_conv, s.it, s.iterations)
+        take = act & accept
+        x = jnp.where(take, x_new, s.x)
+        r = jnp.where(take, r_new, s.r)
+        r2 = jnp.where(take, r2_new, s.r2)
+        lam = jnp.where(
+            act,
+            jnp.where(accept, s.lam * LM_LAMBDA_DECR, s.lam * LM_LAMBDA_INCR),
+            s.lam,
+        )
+        deg = s.deg | jnp.where(act, deg_j | deg_r, jnp.zeros_like(deg_j))
+        step_conv = act & (~fail) & (step_inf <= stol)
+        done = s.done | res_now | step_conv
+        iterations = jnp.where(res_now | step_conv, s.it, s.iterations)
         return LMState(
-            x=x, r=r, r2=r2, lam=lam, it=s.it + 1, done=step_conv,
-            converged=s.converged | step_conv, iterations=iterations, deg=deg,
+            x=x, r=r, r2=r2, lam=lam,
+            it=jnp.where(act, s.it + 1, s.it), done=done,
+            converged=s.converged | res_now | step_conv,
+            iterations=iterations, deg=deg,
         )
 
     final = jax.lax.while_loop(cond, body, state)

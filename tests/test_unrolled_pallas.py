@@ -1,0 +1,135 @@
+"""Unrolled evaluator + Pallas fleet kernel tests (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import ezpz_tpu  # noqa: F401
+from ezpz_tpu.config import Config
+from ezpz_tpu.constraints import Constraint
+from ezpz_tpu.datatypes import DatumCircle, DatumDistance, DatumLineSegment, DatumPoint
+from ezpz_tpu.models.compiled import compile_system
+from ezpz_tpu.ops.pallas_fleet import (
+    make_coarse_fleet_solver,
+    pack_fleet,
+    unpack_rows,
+)
+from ezpz_tpu.ops.unrolled import UnrolledSystem
+from ezpz_tpu.solver import solve_lm
+
+
+def _mixed_system(dtype=jnp.float64):
+    # Well-constrained on purpose: an underconstrained direction would make
+    # bit-level arithmetic differences (gather vs unrolled evaluation in
+    # f32) land on different points of the solution manifold.
+    p0, p1 = DatumPoint(0, 1), DatumPoint(2, 3)
+    circle = DatumCircle(center=DatumPoint(4, 5), radius=DatumDistance(6))
+    cs = [
+        Constraint.Fixed(p0.x_id, 0.25),
+        Constraint.Fixed(p0.y_id, 0.1),
+        Constraint.Distance(p0, p1, 3.0),
+        Constraint.Vertical(DatumLineSegment(p0, p1)),
+        Constraint.CircleRadius(circle, 1.5),
+        Constraint.PointsCoincident(p1, circle.center),
+    ]
+    weights = [1.0, 1.0, 2.0, 1.0, 1.0, 0.5]
+    return compile_system(cs, n_vars=7, weights=weights, dtype=dtype)
+
+
+def test_unrolled_matches_compiled():
+    system = _mixed_system()
+    un = UnrolledSystem(system)
+    x = jnp.asarray(np.linspace(0.1, 1.9, 7))
+
+    r_c, deg_c = system.residual_and_flags(x)
+    r_u, deg_u = un.residual_and_flags(x)
+    np.testing.assert_allclose(np.asarray(r_u), np.asarray(r_c), rtol=1e-14)
+    np.testing.assert_array_equal(np.asarray(deg_u), np.asarray(deg_c))
+
+    r_c, jtj_c, jtr_c, _ = system.normal_equations(x)
+    r_u, jtj_u, jtr_u, _ = un.normal_equations(x)
+    np.testing.assert_allclose(np.asarray(r_u), np.asarray(r_c), rtol=1e-14)
+    np.testing.assert_allclose(np.asarray(jtj_u), np.asarray(jtj_c), rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(jtr_u), np.asarray(jtr_c), rtol=1e-12, atol=1e-14)
+
+    J_c = system.jacobian_dense(x)
+    J_u = un.jacobian_dense(x)
+    np.testing.assert_allclose(np.asarray(J_u), np.asarray(J_c), rtol=1e-12, atol=1e-14)
+
+
+def test_unrolled_solve_matches_compiled_solve():
+    system = _mixed_system()
+    un = UnrolledSystem(system)
+    x0 = jnp.asarray(np.array([0.3, 0.1, 0.2, 3.3, 0.25, 3.2, 1.1]))
+    cfg = Config()
+    a = solve_lm(system, x0, cfg.max_iterations, cfg.residual_tolerance,
+                 cfg.step_tolerance, cfg.initial_lambda)
+    b = solve_lm(un, x0, cfg.max_iterations, cfg.residual_tolerance,
+                 cfg.step_tolerance, cfg.initial_lambda)
+    assert bool(a.converged) and bool(b.converged)
+    assert int(a.iterations) == int(b.iterations)
+    np.testing.assert_allclose(np.asarray(b.x), np.asarray(a.x), atol=1e-12)
+
+
+def test_batched_lanes_freeze_on_convergence():
+    """Regression: under vmap the while_loop runs until the SLOWEST lane
+    finishes; already-converged lanes must freeze — identical x and
+    iteration counts to solo solves — not keep stepping (which would drift
+    underconstrained solutions)."""
+    from ezpz_tpu.batch import BatchSolver
+
+    # Underconstrained: nothing pins p0.y/p1.y absolutely.
+    p0, p1 = DatumPoint(0, 1), DatumPoint(2, 3)
+    cs = [
+        Constraint.Fixed(p0.x_id, 0.25),
+        Constraint.Distance(p0, p1, 3.0),
+        Constraint.Vertical(DatumLineSegment(p0, p1)),
+    ]
+    system = compile_system(cs, n_vars=4)
+    cfg = Config()
+
+    # Lane 0 starts at the solution (0 iterations); lane 1 starts far away.
+    x0s = np.array([
+        [0.25, 1.0, 0.25, 4.0],
+        [0.9, 0.4, -1.2, 2.7],
+    ])
+    batch = BatchSolver(system, cfg).solve(jnp.asarray(x0s))
+    for lane in range(2):
+        solo = solve_lm(system, jnp.asarray(x0s[lane]), cfg.max_iterations,
+                        cfg.residual_tolerance, cfg.step_tolerance,
+                        cfg.initial_lambda)
+        assert int(np.asarray(batch.iterations)[lane]) == int(solo.iterations), lane
+        np.testing.assert_allclose(np.asarray(batch.x)[lane],
+                                   np.asarray(solo.x), atol=1e-12)
+    assert int(np.asarray(batch.iterations)[0]) == 0
+
+
+def test_pallas_coarse_fleet_interpret_matches_vmap():
+    system32 = _mixed_system(dtype=jnp.float32)
+    B, tile = 2048, 1024
+    rng = np.random.default_rng(1)
+    base = np.array([0.3, 0.1, 0.2, 3.3, 0.25, 3.2, 1.1], np.float32)
+    x0 = np.tile(base, (B, 1)) + rng.normal(0, 0.02, (B, 7)).astype(np.float32)
+
+    pars = tuple(
+        jnp.asarray(np.tile(np.asarray(b.par, np.float32), (B, 1, 1)))
+        for b in system32.blocks
+    )
+
+    run = make_coarse_fleet_solver(system32, 20, 5e-6, 1e-7, 1e-9,
+                                   tile=tile, interpret=True)
+    x_p, pars_p = pack_fleet(jnp.asarray(x0), system32, pars)
+    x_out_p, its_p, convs_p, degs_p = run(x_p, pars_p)
+    x_out = np.asarray(unpack_rows(x_out_p))  # (B, n)
+    convs = np.asarray(unpack_rows(convs_p))  # (B, 1)
+    its = np.asarray(unpack_rows(its_p))
+
+    ref = jax.vmap(
+        lambda xv, *pv: solve_lm(system32, xv, 20, jnp.float32(5e-6),
+                                 jnp.float32(1e-7), jnp.float32(1e-9),
+                                 pars=tuple(pv)).x
+    )(jnp.asarray(x0), *pars)
+
+    assert bool(convs.all())
+    assert int(its.max()) <= 20
+    np.testing.assert_allclose(x_out, np.asarray(ref), rtol=2e-5, atol=2e-5)
