@@ -207,7 +207,26 @@ def solve(
     config: Config = Config(),
 ) -> SolveOutcome:
     """Solve the constraint system. Raises ``FailureOutcome`` on definition
-    errors; returns ``converged=False`` (not an error) when LM stalls."""
+    errors; returns ``converged=False`` (not an error) when LM stalls.
+
+    Mirrors the reference's doctest (``ezpz/src/lib.rs:47-87``): pin p at
+    the origin, require q to be 4 away, start q near (4.39, 4.38):
+
+    >>> import ezpz_tpu as ez
+    >>> ids = ez.IdGenerator()
+    >>> p, q = ez.DatumPoint.new(ids), ez.DatumPoint.new(ids)
+    >>> reqs = [ez.ConstraintRequest.highest_priority(c) for c in [
+    ...     ez.Constraint.Fixed(p.id_x(), 0.0),
+    ...     ez.Constraint.Fixed(p.id_y(), 0.0),
+    ...     ez.Constraint.Distance(p, q, 4.0)]]
+    >>> out = ez.solve(reqs, [(p.id_x(), 0.0), (p.id_y(), -0.02),
+    ...                       (q.id_x(), 4.39), (q.id_y(), 4.38)])
+    >>> out.converged
+    True
+    >>> qx, qy = out.final_values[2], out.final_values[3]
+    >>> round((qx ** 2 + qy ** 2) ** 0.5, 6)   # |q - p| == 4
+    4.0
+    """
     _analysis, outcome = _solve_with_priority(reqs, initial_guesses, config, False)
     return outcome
 

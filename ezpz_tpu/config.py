@@ -13,7 +13,19 @@ LM_LAMBDA_DECR = 0.1
 
 @dataclass(frozen=True)
 class Config:
-    """How to solve a system. Defaults match the reference exactly."""
+    """How to solve a system. Defaults match the reference exactly
+    (``solver.rs:72-80``).
+
+    >>> Config().max_iterations
+    35
+    >>> Config().residual_tolerance
+    1e-08
+    >>> cfg = Config().with_max_iterations(10).with_initial_lambda(1e-6)
+    >>> cfg.max_iterations, cfg.initial_lambda
+    (10, 1e-06)
+    >>> Config().with_step_tolerance(1e-10).step_tolerance
+    1e-10
+    """
 
     max_iterations: int = 35
     residual_tolerance: float = 1e-8

@@ -10,7 +10,21 @@ Id = int
 
 
 class IdGenerator:
-    """Generates an incrementing sequence of ids starting from 0."""
+    """Generates an incrementing sequence of ids starting from 0
+    (``id.rs:19-30``).
+
+    >>> ids = IdGenerator()
+    >>> ids.next_id(), ids.next_id(), ids.next_id()
+    (0, 1, 2)
+
+    Datum constructors consume ids in declaration order:
+
+    >>> from ezpz_tpu.datatypes import DatumPoint
+    >>> ids = IdGenerator()
+    >>> p = DatumPoint.new(ids)
+    >>> p.id_x(), p.id_y()
+    (0, 1)
+    """
 
     def __init__(self) -> None:
         self._next: Id = 0

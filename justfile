@@ -16,7 +16,8 @@ lint:
 
 # Runnable-docs check (the analog of `cargo test --doc`).
 doctest:
-    python -m pytest --doctest-modules ezpz_tpu/config.py ezpz_tpu/utils/ids.py -q
+    JAX_PLATFORMS=cpu python -m pytest --doctest-modules \
+        ezpz_tpu/config.py ezpz_tpu/utils/ids.py ezpz_tpu/api.py -q
 
 # Headline benchmark (one JSON line; runs on the TPU when available).
 bench:
