@@ -89,7 +89,8 @@ class CompiledSystem:
         for i, b in enumerate(self.blocks):
             res, deg = jax.vmap(b.spec.fn)(x[b.idx], self._pars(pars, i))
             parts.append((res * b.weight[:, None]).reshape(-1))
-            deg_acc = deg_acc.at[b.cid].max(deg)
+            if b.spec.can_degenerate:  # constant-False flags skip the scatter
+                deg_acc = deg_acc.at[b.cid].max(deg)
         r = jnp.concatenate(parts) if parts else jnp.zeros((0,), self.dtype)
         return r, deg_acc
 
@@ -118,7 +119,8 @@ class CompiledSystem:
             jtj = jtj.at[b.idx[:, :, None], b.idx[:, None, :]].add(contrib)
             jtr = jtr.at[b.idx].add(jnp.einsum("ndk,nd->nk", wjac, wres))
             parts.append(wres.reshape(-1))
-            deg_acc = deg_acc.at[b.cid].max(deg)
+            if b.spec.can_degenerate:  # constant-False flags skip the scatter
+                deg_acc = deg_acc.at[b.cid].max(deg)
         r = jnp.concatenate(parts) if parts else jnp.zeros((0,), self.dtype)
         return r, jtj, jtr, deg_acc
 
@@ -239,7 +241,8 @@ class CompiledSystem:
                 jnp.einsum("ndk,ndl->nkl", wjac, wjac)
             )
             jtr = jtr.at[b.idx].add(jnp.einsum("ndk,nd->nk", wjac, wres))
-            deg_acc = deg_acc.at[b.cid].max(deg)
+            if b.spec.can_degenerate:  # constant-False flags skip the scatter
+                deg_acc = deg_acc.at[b.cid].max(deg)
         return jtj, jtr, deg_acc
 
     def jacobian_factors(self, x: jnp.ndarray, pars=None):
@@ -262,7 +265,8 @@ class CompiledSystem:
             wjacs.append(wjac)
             jtr = jtr.at[b.idx].add(jnp.einsum("ndk,nd->nk", wjac, wres))
             parts.append(wres.reshape(-1))
-            deg_acc = deg_acc.at[b.cid].max(deg)
+            if b.spec.can_degenerate:  # constant-False flags skip the scatter
+                deg_acc = deg_acc.at[b.cid].max(deg)
         r = jnp.concatenate(parts) if parts else jnp.zeros((0,), self.dtype)
         return r, jtr, wjacs, deg_acc
 

@@ -405,6 +405,10 @@ class KernelSpec:
     nparams: int
     dim: int
     fn: Callable
+    # False for kernels whose degenerate flag is constant False (pure
+    # linear/affine residuals): their flag scatters are skipped entirely in
+    # the hot evaluation loops.
+    can_degenerate: bool = True
 
 
 KERNELS: Dict[str, KernelSpec] = {
@@ -414,18 +418,18 @@ KERNELS: Dict[str, KernelSpec] = {
         KernelSpec("circle_tangent_circle", 6, 1, 1, k_circle_tangent_circle),
         KernelSpec("distance", 4, 1, 1, k_distance),
         KernelSpec("distance_var", 5, 0, 1, k_distance_var),
-        KernelSpec("vertical_distance", 2, 1, 1, k_vertical_distance),
-        KernelSpec("horizontal_distance", 2, 1, 1, k_horizontal_distance),
-        KernelSpec("vertical", 2, 0, 1, k_vertical),
-        KernelSpec("horizontal", 2, 0, 1, k_horizontal),
+        KernelSpec("vertical_distance", 2, 1, 1, k_vertical_distance, can_degenerate=False),
+        KernelSpec("horizontal_distance", 2, 1, 1, k_horizontal_distance, can_degenerate=False),
+        KernelSpec("vertical", 2, 0, 1, k_vertical, can_degenerate=False),
+        KernelSpec("horizontal", 2, 0, 1, k_horizontal, can_degenerate=False),
         KernelSpec("lines_at_angle", 8, 2, 1, k_lines_at_angle),
-        KernelSpec("fixed", 1, 1, 1, k_fixed),
-        KernelSpec("scalar_equal", 2, 0, 1, k_scalar_equal),
-        KernelSpec("points_coincident", 4, 0, 2, k_points_coincident),
-        KernelSpec("circle_radius", 1, 1, 1, k_circle_radius),
+        KernelSpec("fixed", 1, 1, 1, k_fixed, can_degenerate=False),
+        KernelSpec("scalar_equal", 2, 0, 1, k_scalar_equal, can_degenerate=False),
+        KernelSpec("points_coincident", 4, 0, 2, k_points_coincident, can_degenerate=False),
+        KernelSpec("circle_radius", 1, 1, 1, k_circle_radius, can_degenerate=False),
         KernelSpec("lines_equal_length", 8, 0, 1, k_lines_equal_length),
         KernelSpec("arc", 6, 0, 1, k_arc),
-        KernelSpec("midpoint", 6, 0, 2, k_midpoint),
+        KernelSpec("midpoint", 6, 0, 2, k_midpoint, can_degenerate=False),
         KernelSpec("point_line_distance", 6, 1, 1, k_point_line_distance),
         KernelSpec("vertical_point_line_distance", 6, 1, 1, k_vertical_point_line_distance),
         KernelSpec("horizontal_point_line_distance", 6, 1, 1, k_horizontal_point_line_distance),

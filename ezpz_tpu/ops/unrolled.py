@@ -35,8 +35,8 @@ class UnrolledSystem:
         self.n_rows = system.n_rows
 
     def _instances(self, pars):
-        """Yield (block_index, instance_index, fn, var_ids, params, weight,
-        cid) with params traced per-instance when ``pars`` is given."""
+        """Yield (fn, var_ids, params, weight, cid, can_degenerate) with
+        params traced per-instance when ``pars`` is given."""
         for bi, b in enumerate(self.system.blocks):
             block_pars = None if pars is None else pars[bi]
             for i in range(b.idx.shape[0]):
@@ -50,16 +50,18 @@ class UnrolledSystem:
                     p,
                     float(b.weight[i]),
                     int(b.cid[i]),
+                    b.spec.can_degenerate,
                 )
 
     def residual_and_flags(self, x: jnp.ndarray, pars=None):
         rows = []
         deg = [jnp.asarray(False)] * self.n_constraints
-        for fn, ids, p, w, cid in self._instances(pars):
+        for fn, ids, p, w, cid, can_deg in self._instances(pars):
             v = jnp.stack([x[j] for j in ids])
             res, dg = fn(v, p)
             rows.append(res * w)
-            deg[cid] = deg[cid] | dg
+            if can_deg:
+                deg[cid] = deg[cid] | dg
         r = (jnp.concatenate(rows) if rows
              else jnp.zeros((0,), self.dtype))
         return r, jnp.stack(deg) if deg else jnp.zeros((0,), jnp.bool_)
@@ -75,7 +77,7 @@ class UnrolledSystem:
         jtr_acc = [zero for _ in range(n)]
         rows = []
         deg = [jnp.asarray(False)] * self.n_constraints
-        for fn, ids, p, w, cid in self._instances(pars):
+        for fn, ids, p, w, cid, can_deg in self._instances(pars):
             v = jnp.stack([x[j] for j in ids])
             jac, (res, dg) = _jac_with_value(fn, v, p)
             wjac = jac * w  # (dim, nv)
@@ -92,7 +94,8 @@ class UnrolledSystem:
                         acc2 = acc2 + wjac[d, a] * wjac[d, b_]
                     jtj_acc[ga][gb] = jtj_acc[ga][gb] + acc2
             rows.append(wres)
-            deg[cid] = deg[cid] | dg
+            if can_deg:
+                deg[cid] = deg[cid] | dg
         jtj = jnp.stack([jnp.stack(row) for row in jtj_acc])
         jtr = jnp.stack(jtr_acc)
         r = (jnp.concatenate(rows) if rows
@@ -102,7 +105,7 @@ class UnrolledSystem:
     def jacobian_dense(self, x: jnp.ndarray, pars=None):
         J = jnp.zeros((self.n_rows, self.n_vars), self.dtype)
         row = 0
-        for fn, ids, p, w, cid in self._instances(pars):
+        for fn, ids, p, w, cid, _can_deg in self._instances(pars):
             v = jnp.stack([x[j] for j in ids])
             jac, (_res, _dg) = _jac_with_value(fn, v, p)
             wjac = jac * w

@@ -248,7 +248,8 @@ class ShardedSchurSolver:
             r2 = r2 + jnp.sum(wres * wres)
             rinf = jnp.maximum(rinf, jnp.max(jnp.abs(wres)) if wres.size else 0.0)
             live = w > 0
-            deg = deg.at[cid].max(dg & live)
+            if blk.spec.can_degenerate:  # constant-False flags skip the scatter
+                deg = deg.at[cid].max(dg & live)
             worst = worst.at[cid].max(jnp.max(jnp.abs(res), axis=1) * live)
         return r2, rinf, deg, worst, jtj, jtr
 
