@@ -62,6 +62,27 @@ from .utils.errors import (
 from .outcomes import SolveOutcome, FailureOutcome, FreedomAnalysis, SolveOutcomeFreedomAnalysis
 from .api import solve, solve_analysis
 
+
+def enable_compilation_cache(path: str = None) -> str:
+    """Turn on JAX's persistent compilation cache (opt-in).
+
+    Compiled solver executables are keyed by topology; caching them makes
+    process restarts warm-start instead of re-paying XLA compiles (measured
+    3.8s -> 0.76s per executable through a remote-tunnel TPU backend, and
+    minutes -> seconds for the big batched solvers). Default location:
+    ``~/.cache/ezpz_tpu/jax``. Returns the cache directory used.
+    """
+    import os as _os
+
+    if path is None:
+        path = _os.environ.get(
+            "EZPZ_TPU_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "ezpz_tpu", "jax"),
+        )
+    _jax.config.update("jax_compilation_cache_dir", path)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return path
+
 __all__ = [
     "Config",
     "Constraint",

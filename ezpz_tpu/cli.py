@@ -80,8 +80,11 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
+    from . import enable_compilation_cache
     from .outcomes import FailureOutcome
     from .textual import Problem
+
+    enable_compilation_cache()
 
     if args.filepath == "-":
         txt = sys.stdin.read()

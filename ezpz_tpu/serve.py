@@ -244,6 +244,9 @@ def run_server(host: str = "127.0.0.1", port: int = 8787) -> None:
     GET /healthz -> service stats."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+    from . import enable_compilation_cache
+
+    enable_compilation_cache()  # warm restarts skip topology recompiles
     service = SolverService()
 
     class Handler(BaseHTTPRequestHandler):
