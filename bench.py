@@ -66,6 +66,11 @@ def main():
     precision = os.environ.get("BENCH_PRECISION", "mixed")
     from ezpz_tpu.batch import BatchSolver
 
+    # Each rep gets ITS OWN perturbed initial-guess batch: a remote-tunnel
+    # backend may memoize identical (executable, args) calls, which would
+    # fake the timing. Offsets of ~1e-9 don't change iteration counts.
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+    n_variants = reps + 1  # +1 for the warmup
     solvers = []
     for bucket in buckets:
         solver = BatchSolver(bucket.system, Config(), batch_params=True,
@@ -74,11 +79,12 @@ def main():
         # arrays moves hundreds of MB through the remote tunnel; uploading
         # the per-component template (KBs) and tiling with jnp is instant.
         x0b = jnp.tile(jnp.asarray(x0[bucket.var_index]), (M, 1))
+        x0_variants = [x0b + (k * 1e-9) for k in range(n_variants)]
         pars = tuple(jnp.tile(jnp.asarray(p), (M, 1, 1)) for p in bucket.pars)
-        solvers.append((solver, x0b, pars))
+        solvers.append((solver, x0_variants, pars))
 
-    def run_once():
-        outs = [s.solve(xb, pb) for s, xb, pb in solvers]
+    def run_once(k):
+        outs = [s.solve(xv[k], pb) for s, xv, pb in solvers]
         # Force full materialization on host: with a remote-tunnel backend,
         # block_until_ready alone does not guarantee execution finished.
         for o in outs:
@@ -86,7 +92,7 @@ def main():
         return outs
 
     # Warm up (compile) + correctness gate.
-    outs = run_once()
+    outs = run_once(reps)  # the extra variant, reserved for warmup
     ok = all(bool(np.asarray(o.converged).all()) for o in outs)
     sat = all(bool(np.asarray(o.satisfied).all()) for o in outs)
     iters = max(int(np.asarray(o.iterations).max()) for o in outs)
@@ -96,16 +102,19 @@ def main():
                           "error": "did not converge/satisfy"}))
         return 1
 
-    # Timed region. EZPZ_TPU_PROFILE_DIR captures a jax.profiler trace of it
-    # (the TPU analog of the reference's `just flamegraph`, justfile:35-36).
-    reps = int(os.environ.get("BENCH_REPS", "4"))
+    # Timed region: per-rep times, median reported (robust to transient
+    # remote-tunnel contention). EZPZ_TPU_PROFILE_DIR captures a
+    # jax.profiler trace (the TPU analog of the reference's
+    # `just flamegraph`, justfile:35-36).
     profile_dir = os.environ.get("EZPZ_TPU_PROFILE_DIR")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        run_once()
-    dt = (time.perf_counter() - t0) / reps
+    times = []
+    for k in range(reps):
+        t0 = time.perf_counter()
+        run_once(k)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
     if profile_dir:
         jax.profiler.stop_trace()
     solves_per_sec = M / dt
