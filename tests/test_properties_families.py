@@ -1,0 +1,199 @@
+"""Randomized end-to-end solves per constraint family, mirroring the
+reference's family proptests (``ezpz/src/tests/proptests.rs``): scalar_eq
+(:332), vertical/horizontal distance (:362,:401), point-line distances
+(:442,:472), point-arc coincident (:515), arc length (:545), circle
+tangency (:571), DistanceVar finiteness/symmetry (:601-711).
+
+Each family solves a handful of randomized instances; topology is fixed per
+family so the jitted solver compiles once and random values re-use it.
+"""
+
+import math
+
+import numpy as np
+
+import ezpz_tpu as ez
+from ezpz_tpu.constraints import Constraint, ConstraintRequest
+from ezpz_tpu.datatypes import (
+    DatumCircle,
+    DatumCircularArc,
+    DatumDistance,
+    DatumLineSegment,
+    DatumPoint,
+)
+
+RNG = np.random.default_rng(987)
+N_CASES = 5
+
+
+def _solve(constraints, guesses):
+    reqs = [ConstraintRequest.highest_priority(c) for c in constraints]
+    return ez.solve(reqs, guesses, ez.Config())
+
+
+def test_scalar_equal_family():
+    x, y = 0, 1
+    for _ in range(N_CASES):
+        a = float(RNG.uniform(-50, 50))
+        out = _solve(
+            [Constraint.Fixed(x, a), Constraint.ScalarEqual(x, y)],
+            [(x, a + RNG.uniform(-1, 1)), (y, RNG.uniform(-60, 60))],
+        )
+        assert out.converged
+        assert abs(out.final_values[y] - a) < 1e-6
+
+
+def test_vertical_horizontal_distance_family():
+    p, q = DatumPoint(0, 1), DatumPoint(2, 3)
+    for _ in range(N_CASES):
+        px, py = RNG.uniform(-20, 20, 2)
+        d, e = RNG.uniform(-10, 10, 2)
+        out = _solve(
+            [
+                Constraint.Fixed(p.x_id, px),
+                Constraint.Fixed(p.y_id, py),
+                Constraint.VerticalDistance(p, q, float(d)),    # p.y - q.y = d
+                Constraint.HorizontalDistance(p, q, float(e)),  # p.x - q.x = e
+            ],
+            [(0, px), (1, py), (2, px + RNG.uniform(-1, 1)), (3, py + RNG.uniform(-1, 1))],
+        )
+        assert out.converged
+        assert abs((py - out.final_values[3]) - d) < 1e-6
+        assert abs((px - out.final_values[2]) - e) < 1e-6
+
+
+def test_point_line_distance_family():
+    a, b, p = DatumPoint(0, 1), DatumPoint(2, 3), DatumPoint(4, 5)
+    line = DatumLineSegment(a, b)
+    for _ in range(N_CASES):
+        ax, ay = RNG.uniform(-5, 5, 2)
+        bx, by = ax + RNG.uniform(1, 5), ay + RNG.uniform(1, 5)
+        d = float(RNG.uniform(0.5, 4.0))
+        # Start p clearly on the positive side of the signed distance.
+        mx, my = (ax + bx) / 2, (ay + by) / 2
+        nx, ny = -(by - ay), (bx - ax)
+        nn = math.hypot(nx, ny)
+        px0, py0 = mx + 2 * d * nx / nn, my + 2 * d * ny / nn
+        out = _solve(
+            [
+                Constraint.Fixed(a.x_id, ax), Constraint.Fixed(a.y_id, ay),
+                Constraint.Fixed(b.x_id, bx), Constraint.Fixed(b.y_id, by),
+                Constraint.PointLineDistance(p, line, d),
+            ],
+            [(0, ax), (1, ay), (2, bx), (3, by), (4, px0), (5, py0)],
+        )
+        assert out.converged, (ax, ay, bx, by, d)
+        px, py = out.final_values[4], out.final_values[5]
+        dist = abs((by - ay) * px - (bx - ax) * py + bx * ay - by * ax) / math.hypot(
+            bx - ax, by - ay
+        )
+        assert abs(dist - d) < 1e-5
+        # Sign preserved: p stayed on the side it started.
+        side = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        side0 = (bx - ax) * (py0 - ay) - (by - ay) * (px0 - ax)
+        assert side * side0 > 0
+
+
+def test_point_arc_coincident_family():
+    arc = DatumCircularArc(
+        center=DatumPoint(0, 1), start=DatumPoint(2, 3), end=DatumPoint(4, 5)
+    )
+    p = DatumPoint(6, 7)
+    for _ in range(N_CASES):
+        r = float(RNG.uniform(1.0, 4.0))
+        # Arc spans the first quadrant; p starts strictly interior to it.
+        theta = float(RNG.uniform(0.3, 1.2))
+        guesses = [
+            (0, 0.0), (1, 0.0),
+            (2, r), (3, 0.0),
+            (4, 0.0), (5, r),
+            (6, 0.7 * r * math.cos(theta)), (7, 0.7 * r * math.sin(theta)),
+        ]
+        out = _solve(
+            [
+                Constraint.Fixed(0, 0.0), Constraint.Fixed(1, 0.0),
+                Constraint.Fixed(2, r), Constraint.Fixed(3, 0.0),
+                Constraint.Fixed(4, 0.0), Constraint.Fixed(5, r),
+                Constraint.PointArcCoincident(arc, p),
+            ],
+            guesses,
+        )
+        assert out.converged
+        px, py = out.final_values[6], out.final_values[7]
+        assert abs(math.hypot(px, py) - r) < 1e-5  # pulled radially onto the arc
+        assert px > -1e-6 and py > -1e-6  # stayed in the span
+
+
+def test_arc_length_family():
+    arc = DatumCircularArc(
+        center=DatumPoint(0, 1), start=DatumPoint(2, 3), end=DatumPoint(4, 5)
+    )
+    for _ in range(N_CASES):
+        r = float(RNG.uniform(1.0, 3.0))
+        frac = float(RNG.uniform(0.2, 0.8))
+        target = frac * math.pi * r  # up to ~80% of a half-circle
+        theta0 = frac * math.pi
+        guesses = [
+            (0, 0.0), (1, 0.0),
+            (2, r), (3, 0.0),
+            (4, r * math.cos(theta0 * 1.1)), (5, r * math.sin(theta0 * 1.1)),
+        ]
+        out = _solve(
+            [
+                Constraint.Fixed(0, 0.0), Constraint.Fixed(1, 0.0),
+                Constraint.Fixed(2, r), Constraint.Fixed(3, 0.0),
+                Constraint.ArcLength(arc, target),
+            ],
+            guesses,
+        )
+        assert out.converged
+        ex, ey = out.final_values[4], out.final_values[5]
+        assert abs(math.hypot(ex, ey) - r) < 1e-5  # end on the circle
+        ang = math.atan2(ey, ex) % (2 * math.pi)
+        assert abs(ang * r - target) < 1e-4  # arc length matches
+
+
+def test_circle_tangency_family():
+    c0 = DatumCircle(center=DatumPoint(0, 1), radius=DatumDistance(2))
+    c1 = DatumCircle(center=DatumPoint(3, 4), radius=DatumDistance(5))
+    for _ in range(N_CASES):
+        r0 = float(RNG.uniform(0.5, 2.0))
+        r1 = float(RNG.uniform(0.5, 2.0))
+        gap = float(RNG.uniform(0.1, 2.0))
+        out = _solve(
+            [
+                Constraint.Fixed(0, 0.0), Constraint.Fixed(1, 0.0),
+                Constraint.CircleRadius(c0, r0),
+                Constraint.CircleRadius(c1, r1),
+                Constraint.Fixed(4, 0.0),  # c1 on the x-axis, x free
+                Constraint.CircleTangentToCircle(c0, c1),
+            ],
+            [(0, 0.0), (1, 0.0), (2, r0),
+             (3, r0 + r1 + gap), (4, 0.0), (5, r1)],
+        )
+        assert out.converged
+        d = abs(out.final_values[3])
+        assert abs(d - (r0 + r1)) < 1e-5  # exterior tangency inferred
+
+
+def test_distance_var_finiteness_and_symmetry():
+    p, q = DatumPoint(0, 1), DatumPoint(2, 3)
+    dvar = DatumDistance(4)
+    for _ in range(N_CASES):
+        px, py, qx, qy = RNG.uniform(-10, 10, 4)
+        true_d = math.hypot(px - qx, py - qy)
+        if true_d < 0.1:
+            continue
+        for d0 in (true_d * 0.3 + 0.05, true_d * 2.5):  # under/over guesses
+            out = _solve(
+                [
+                    Constraint.Fixed(0, px), Constraint.Fixed(1, py),
+                    Constraint.Fixed(2, qx), Constraint.Fixed(3, qy),
+                    Constraint.DistanceVar(p, q, dvar),
+                ],
+                [(0, px), (1, py), (2, qx), (3, qy), (4, d0)],
+            )
+            assert out.converged
+            d = out.final_values[4]
+            assert np.isfinite(d)
+            assert abs(d - true_d) < 1e-5
