@@ -34,25 +34,9 @@ sys.path.insert(0, ROOT)
 
 
 def _chain_system(n_points: int):
-    """A coupled horizontal chain: NOT block-diagonal, so sharding it
-    genuinely exercises the Schur boundary reduction."""
-    from ezpz_tpu.constraints import Constraint
-    from ezpz_tpu.datatypes import DatumLineSegment, DatumPoint
+    from ezpz_tpu.fixtures import horizontal_chain
 
-    import numpy as np
-
-    pts = [DatumPoint(2 * i, 2 * i + 1) for i in range(n_points)]
-    constraints = [
-        Constraint.Fixed(pts[0].x_id, 0.0),
-        Constraint.Fixed(pts[0].y_id, 0.0),
-    ]
-    for i in range(n_points - 1):
-        constraints.append(Constraint.Distance(pts[i], pts[i + 1], 1.0))
-        constraints.append(Constraint.Horizontal(DatumLineSegment(pts[i], pts[i + 1])))
-    x0 = np.zeros(2 * n_points)
-    x0[0::2] = np.arange(n_points) * 1.1 + 0.05
-    x0[1::2] = 0.07
-    return constraints, x0
+    return horizontal_chain(n_points, x_spacing=1.1, x_offset=0.05, y_offset=0.07)
 
 
 def bench_fleet(D: int, per_device: int, reps: int):

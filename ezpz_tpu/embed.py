@@ -10,8 +10,9 @@ smoke-test the install:
 
 * ``hello()``           — returns 33: the module loaded (``lib.rs:9-11``);
 * ``test_linalg()``     — exercises the linear-algebra backend the way
-  ``test_faer`` pokes faer (``lib.rs:14-25``): builds a small SPD system,
-  solves it, returns a known matrix entry;
+  ``test_faer`` pokes faer (``lib.rs:14-25``): solves a known SPD system
+  through the LM loop's own Cholesky routine, verifies the solution, and
+  returns 1.0 (raises if the backend is broken);
 * ``benchmark()``       — solves the exact two-dependent-rectangles system
   the wasm harness solves (``lib.rs:28-103``) and returns the final values
   as a plain list, for the embedder to time in a loop (``main.js:8-15``).
@@ -34,19 +35,22 @@ def hello() -> int:
 def test_linalg() -> float:
     """Linear-algebra-backend probe (``ezpz-wasm/src/lib.rs:14-25``).
 
-    Builds the same 4x3 matrix the reference hands to faer and returns its
-    (0, 0) entry after a round-trip through the device."""
+    The reference pokes faer; here the probe actually exercises the solver's
+    SPD path: build a known SPD system, solve it with ``ops.linalg.spd_solve``
+    (the exact routine the LM loop factorizes with), verify the solution,
+    and return 1.0 — so a broken Cholesky path fails here, not later inside
+    production solves."""
     import jax.numpy as jnp
 
     import ezpz_tpu  # noqa: F401  (x64 on)
+    from ezpz_tpu.ops.linalg import spd_solve
 
-    a = jnp.array([
-        [1.0, 5.0, 9.0],
-        [2.0, 6.0, 10.0],
-        [3.0, 7.0, 11.0],
-        [4.0, 8.0, 12.0],
-    ])
-    return float(a[0, 0])
+    a = jnp.array([[4.0, 1.0, 0.0], [1.0, 3.0, 1.0], [0.0, 1.0, 2.0]])
+    x_true = jnp.array([1.0, -2.0, 3.0])
+    x, fail = spd_solve(a, a @ x_true)
+    if bool(fail) or float(jnp.max(jnp.abs(x - x_true))) > 1e-10:
+        raise RuntimeError("SPD solve failed the embed probe")
+    return 1.0
 
 
 def benchmark() -> List[float]:

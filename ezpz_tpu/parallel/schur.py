@@ -493,15 +493,31 @@ class ShardedSchurSolver:
 
         Runs the LM loop ``checkpoint_every`` iterations at a time, saving
         (x, lambda, iteration, degenerate flags) to ``checkpoint_path`` after
-        each segment; if the file already exists (same topology), the solve
-        resumes from it instead of ``x0``. The reference has no equivalent
-        (solves are milliseconds); this exists for giant sharded solves where
-        preemption matters (SURVEY.md section 5 "checkpoint/resume").
+        each segment; if the file already exists for the SAME solve — same
+        topology, same parameters/weights, same config, same ``x0`` — the
+        solve resumes from it instead of starting over. Any mismatch (even a
+        changed constraint value on an identical topology) invalidates the
+        checkpoint and starts fresh. The reference has no equivalent
+        (solves are milliseconds); this exists for giant sharded solves
+        where preemption matters (SURVEY.md section 5 "checkpoint/resume").
         """
         from ..checkpoint import load_state, save_state, topology_fingerprint
 
+        if checkpoint_every < 1:
+            raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
         c = self.config
-        fp = topology_fingerprint(self.cons_map, self.layout.local_to_global)
+        fp = topology_fingerprint(
+            self.cons_map,
+            self.layout.local_to_global,
+            # Values, not just structure: parameters and weights per block...
+            *[b.par for b in self.blocks],
+            *[b.weight for b in self.blocks],
+            # ...the solver configuration...
+            np.asarray([c.max_iterations, c.residual_tolerance,
+                        c.step_tolerance, c.initial_lambda], np.float64),
+            # ...and the starting point this solve was asked to run from.
+            np.asarray(x0, np.float64),
+        )
         state = load_state(checkpoint_path, fp)
         if state is None:
             x_i, x_b = self._scatter_x(x0)

@@ -424,6 +424,13 @@ def solve_lm_mixed(
     eye32 = jnp.eye(n, dtype=system32.dtype)
     rtol = jnp.asarray(residual_tolerance, f64)
     stol = jnp.asarray(step_tolerance, f64)
+    # The refinement budget respects the caller's total iteration cap:
+    # coarse + refine never exceeds max_iterations.
+    refine_limit = jnp.clip(
+        jnp.asarray(max_iterations, jnp.int32) - coarse.iterations,
+        0,
+        refine_iterations,
+    )
 
     x1 = coarse.x.astype(f64)
     r0, deg0 = system64.residual_and_flags(x1, pars64)
@@ -444,7 +451,7 @@ def solve_lm_mixed(
     # detection pass for unbatched solves, the ``act`` predication freezes
     # converged lanes under vmap.
     def cond(s: LMState):
-        return (~s.done) & (s.it < refine_iterations) & (jnp.max(jnp.abs(s.r)) > rtol)
+        return (~s.done) & (s.it < refine_limit) & (jnp.max(jnp.abs(s.r)) > rtol)
 
     def body(s: LMState) -> LMState:
         res_now = (jnp.max(jnp.abs(s.r)) <= rtol) & ~s.done
@@ -487,7 +494,7 @@ def solve_lm_mixed(
     refine_count = jnp.where(
         final.done,
         final.iterations,
-        jnp.where(res_conv, final.it, jnp.asarray(refine_iterations, jnp.int32)),
+        jnp.where(res_conv, final.it, refine_limit),
     )
     return LMResult(
         x=final.x,

@@ -16,9 +16,9 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: repeated suite runs skip recompiling the
 # (identical) jitted solvers, cutting wall time substantially.
-jax.config.update(
-    "jax_compilation_cache_dir",
+import ezpz_tpu
+
+ezpz_tpu.enable_compilation_cache(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"),
+                 ".jax_cache")
 )
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

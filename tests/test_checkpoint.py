@@ -16,18 +16,9 @@ from ezpz_tpu.parallel import ShardedSchurSolver
 
 
 def _chain(n_points):
-    pts = [DatumPoint(2 * i, 2 * i + 1) for i in range(n_points)]
-    constraints = [
-        Constraint.Fixed(pts[0].x_id, 0.0),
-        Constraint.Fixed(pts[0].y_id, 0.0),
-    ]
-    for i in range(n_points - 1):
-        constraints.append(Constraint.Distance(pts[i], pts[i + 1], 1.0))
-        constraints.append(Constraint.Horizontal(DatumLineSegment(pts[i], pts[i + 1])))
-    x0 = np.zeros(2 * n_points)
-    x0[0::2] = np.arange(n_points) * 1.3 + 0.21
-    x0[1::2] = 0.17
-    return constraints, x0
+    from ezpz_tpu.fixtures import horizontal_chain
+
+    return horizontal_chain(n_points, x_spacing=1.3, x_offset=0.21, y_offset=0.17)
 
 
 def _solver(constraints, n_vars, n_dev=4):
@@ -71,6 +62,33 @@ def test_resume_from_partial_checkpoint(tmp_path):
     np.testing.assert_allclose(out["x"], plain["x"], atol=1e-9)
     # Total iterations (resumed + finishing segments) match the plain solve.
     assert out["iterations"] == plain["iterations"]
+
+
+def test_changed_values_invalidate_checkpoint(tmp_path):
+    """Same topology, different constraint parameters: the fingerprint
+    covers values, so the stale checkpoint must be ignored, not resumed."""
+    constraints, x0 = _chain(10)
+    solver = _solver(constraints, len(x0))
+    ck = str(tmp_path / "values.npz")
+    solver.solve_checkpointed(x0, ck, checkpoint_every=2)
+
+    # Change one Distance target (identical topology) and re-solve.
+    changed = list(constraints)
+    changed[2] = Constraint.Distance(DatumPoint(0, 1), DatumPoint(2, 3), 2.0)
+    solver2 = _solver(changed, len(x0))
+    out = solver2.solve_checkpointed(x0, ck, checkpoint_every=2)
+    assert out["converged"] and out["satisfied"].all()
+    plain = solver2.solve(x0)
+    np.testing.assert_allclose(out["x"], plain["x"], atol=1e-9)
+
+
+def test_checkpoint_every_must_be_positive(tmp_path):
+    constraints, x0 = _chain(8)
+    solver = _solver(constraints, len(x0))
+    import pytest
+
+    with pytest.raises(ValueError):
+        solver.solve_checkpointed(x0, str(tmp_path / "x.npz"), checkpoint_every=0)
 
 
 def test_wrong_topology_checkpoint_ignored(tmp_path):

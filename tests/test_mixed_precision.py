@@ -190,6 +190,19 @@ def test_multi_topology_solver_matches_per_bucket():
                                           np.asarray(ref.iterations))
 
 
+def test_mixed_respects_iteration_budget():
+    """coarse + refine never exceeds the caller's max_iterations."""
+    constraints, x0 = _square_system()
+    system64 = compile_system(constraints, n_vars=len(x0))
+    system32 = system64.astype(jnp.float32)
+    for budget in (1, 3, 5):
+        res = solve_lm_mixed(
+            system64, system32, jnp.asarray(np.asarray(x0, np.float64)),
+            budget, 1e-8, 1e-12, 1e-9,
+        )
+        assert int(res.iterations) <= budget, (budget, int(res.iterations))
+
+
 def test_mixed_inconsistent_terminates():
     """Least-squares compromise systems (residual can't reach tolerance)
     must still terminate with converged=False or step-converge, not hang."""

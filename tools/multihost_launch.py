@@ -102,18 +102,9 @@ def main(argv=None) -> int:
         return 0
 
     # schur: one coupled chain spanning every chip in the global mesh.
-    n_points = args.points_per_chip * n_global
-    pts = [DatumPoint(2 * i, 2 * i + 1) for i in range(n_points)]
-    constraints = [
-        Constraint.Fixed(pts[0].x_id, 0.0),
-        Constraint.Fixed(pts[0].y_id, 0.0),
-    ]
-    for i in range(n_points - 1):
-        constraints.append(Constraint.Distance(pts[i], pts[i + 1], 1.0))
-        constraints.append(Constraint.Horizontal(DatumLineSegment(pts[i], pts[i + 1])))
-    x0 = np.zeros(2 * n_points)
-    x0[0::2] = np.arange(n_points) * 1.05 + 0.1
-    x0[1::2] = 0.05
+    from ezpz_tpu.fixtures import horizontal_chain
+
+    constraints, x0 = horizontal_chain(args.points_per_chip * n_global)
 
     solver = ShardedSchurSolver(constraints, len(x0), mesh=mesh, config=Config())
     out = solver.solve(x0)  # warmup/compile
