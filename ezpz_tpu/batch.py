@@ -26,6 +26,22 @@ from .config import Config
 from .models.compiled import CompiledSystem
 from .solver import solve_lm, solve_lm_mixed
 
+# Topologies at or below this many lowered instances evaluate via the
+# fully-unrolled (static-index, gather/scatter-free) path inside the fleet
+# solvers: measured ~15% faster than the gather path on TPU for the tiny
+# systems block decomposition produces. Larger topologies keep the padded
+# gather path (unrolling grows the traced program linearly).
+UNROLL_MAX_INSTANCES = 24
+
+
+def _maybe_unroll(system: CompiledSystem):
+    from .ops.unrolled import UnrolledSystem
+
+    n_instances = sum(int(b.idx.shape[0]) for b in system.blocks)
+    if 0 < n_instances <= UNROLL_MAX_INSTANCES:
+        return UnrolledSystem(system)
+    return system
+
 
 @dataclass
 class BatchResult:
@@ -60,7 +76,12 @@ class BatchSolver:
         self.batch_params = batch_params
         self.precision = precision
         max_iterations = config.max_iterations
-        system32 = system.astype(jnp.float32) if precision == "mixed" else None
+        # Small topologies solve via the unrolled (static-index) evaluator.
+        ev64 = _maybe_unroll(system)
+        ev32 = (
+            _maybe_unroll(system.astype(jnp.float32))
+            if precision == "mixed" else None
+        )
 
         # With strictly positive weights, satisfaction comes free from the
         # final weighted residual (one full f64 residual pass saved/solve).
@@ -73,11 +94,11 @@ class BatchSolver:
                     else tuple(p.astype(jnp.float32) for p in pars)
                 )
                 res = solve_lm_mixed(
-                    system, system32, x0, max_iterations, rtol, stol, lam0,
+                    ev64, ev32, x0, max_iterations, rtol, stol, lam0,
                     pars64=pars, pars32=pars32,
                 )
             else:
-                res = solve_lm(system, x0, max_iterations, rtol, stol, lam0, pars=pars)
+                res = solve_lm(ev64, x0, max_iterations, rtol, stol, lam0, pars=pars)
             if fast_sat:
                 sat = system.satisfaction_from_residual(res.residual)
             else:
@@ -142,17 +163,19 @@ class MultiTopologySolver:
                 self.systems, systems32, x0s, parss
             ):
                 fast_sat = system.all_weights_positive()
+                ev64 = _maybe_unroll(system)
+                ev32 = _maybe_unroll(system32) if system32 is not None else None
 
-                def one(x0, p, system=system, system32=system32,
+                def one(x0, p, system=system, ev64=ev64, ev32=ev32,
                         fast_sat=fast_sat):
                     if precision == "mixed":
                         p32 = tuple(q.astype(jnp.float32) for q in p)
                         res = solve_lm_mixed(
-                            system, system32, x0, max_iterations, rtol, stol,
+                            ev64, ev32, x0, max_iterations, rtol, stol,
                             lam0, pars64=p, pars32=p32,
                         )
                     else:
-                        res = solve_lm(system, x0, max_iterations, rtol, stol,
+                        res = solve_lm(ev64, x0, max_iterations, rtol, stol,
                                        lam0, pars=p)
                     if fast_sat:
                         sat = system.satisfaction_from_residual(res.residual)

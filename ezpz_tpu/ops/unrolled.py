@@ -102,6 +102,42 @@ class UnrolledSystem:
              else jnp.zeros((0,), self.dtype))
         return r, jtj, jtr, jnp.stack(deg) if deg else jnp.zeros((0,), jnp.bool_)
 
+    def refine_normal_equations(self, x64: jnp.ndarray, r64: jnp.ndarray,
+                                pars=None):
+        """Static-index version of ``CompiledSystem.refine_normal_equations``
+        (mixed-precision refinement: Jacobian in THIS system's dtype at
+        ``x64.astype(dtype)``, right-hand side from the f64 residual
+        ``r64``). Row offsets into ``r64`` follow instance order, which
+        matches the compiled residual layout exactly."""
+        x = x64.astype(self.dtype)
+        n = self.n_vars
+        zero = jnp.zeros((), self.dtype)
+        jtj_acc = [[zero for _ in range(n)] for _ in range(n)]
+        jtr_acc = [zero for _ in range(n)]
+        deg = [jnp.asarray(False)] * self.n_constraints
+        row = 0
+        for fn, ids, p, w, cid, can_deg in self._instances(pars):
+            jac, (res, dg) = _jac_with_value(fn, jnp.stack([x[j] for j in ids]), p)
+            wjac = jac * w  # (dim, nv)
+            dim = wjac.shape[0]
+            wres = [r64[row + d].astype(self.dtype) for d in range(dim)]
+            row += dim
+            for a, ga in enumerate(ids):
+                acc = wjac[0, a] * wres[0]
+                for d in range(1, dim):
+                    acc = acc + wjac[d, a] * wres[d]
+                jtr_acc[ga] = jtr_acc[ga] + acc
+                for b_, gb in enumerate(ids):
+                    acc2 = wjac[0, a] * wjac[0, b_]
+                    for d in range(1, dim):
+                        acc2 = acc2 + wjac[d, a] * wjac[d, b_]
+                    jtj_acc[ga][gb] = jtj_acc[ga][gb] + acc2
+            if can_deg:
+                deg[cid] = deg[cid] | dg
+        jtj = jnp.stack([jnp.stack(r_) for r_ in jtj_acc])
+        jtr = jnp.stack(jtr_acc)
+        return jtj, jtr, jnp.stack(deg) if deg else jnp.zeros((0,), jnp.bool_)
+
     def jacobian_dense(self, x: jnp.ndarray, pars=None):
         J = jnp.zeros((self.n_rows, self.n_vars), self.dtype)
         row = 0
