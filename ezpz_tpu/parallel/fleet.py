@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..batch import BatchResult
+from ..batch import BatchResult, _maybe_unroll
 from ..config import Config
 from ..models.compiled import CompiledSystem
 from ..solver import solve_lm
@@ -46,11 +46,20 @@ class FleetSolver:
         batch_sharding = NamedSharding(mesh, P("batch"))
         scalar_sharding = NamedSharding(mesh, P())
 
+        # Small topologies evaluate via the unrolled (static-index) path,
+        # matching BatchSolver bit for bit.
+        ev = _maybe_unroll(system)
+        fast_sat = system.all_weights_positive()
+
+        def _sat(res, pars):
+            if fast_sat:
+                return system.satisfaction_from_residual(res.residual)
+            return system.constraint_satisfaction(res.x, pars)
+
         if batch_params:
             def one(x0, pars, rtol, stol, lam0):
-                res = solve_lm(system, x0, max_iterations, rtol, stol, lam0, pars=pars)
-                sat = system.constraint_satisfaction(res.x, pars)
-                return res, sat
+                res = solve_lm(ev, x0, max_iterations, rtol, stol, lam0, pars=pars)
+                return res, _sat(res, pars)
 
             vm = jax.vmap(one, in_axes=(0, 0, None, None, None))
             n_blocks = len(system.blocks)
@@ -66,9 +75,8 @@ class FleetSolver:
             )
         else:
             def one(x0, rtol, stol, lam0):
-                res = solve_lm(system, x0, max_iterations, rtol, stol, lam0)
-                sat = system.constraint_satisfaction(res.x)
-                return res, sat
+                res = solve_lm(ev, x0, max_iterations, rtol, stol, lam0)
+                return res, _sat(res, None)
 
             vm = jax.vmap(one, in_axes=(0, None, None, None))
             self._run = jax.jit(

@@ -293,8 +293,15 @@ def run_server(host: str = "127.0.0.1", port: int = 8787) -> None:
         service.shutdown()
 
 
-if __name__ == "__main__":
+def main(argv=None) -> int:
+    """Console entry point: ``ezpz-serve [port]``."""
     import sys
 
-    port = int(sys.argv[1]) if len(sys.argv) > 1 else 8787
+    args = sys.argv[1:] if argv is None else argv
+    port = int(args[0]) if args else 8787
     run_server(port=port)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
