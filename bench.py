@@ -83,8 +83,12 @@ def main():
         outs = [s.solve(xv[k], pb) for s, xv, pb in solvers]
         # Force full materialization on host: with a remote-tunnel backend,
         # block_until_ready alone does not guarantee execution finished.
-        for o in outs:
-            float(jnp.sum(o.x))
+        # ONE combined scalar -> one host round trip instead of one per
+        # bucket (each costs tens of ms through the tunnel).
+        total = outs[0].x.sum()
+        for o in outs[1:]:
+            total = total + o.x.sum()
+        float(total)
         return outs
 
     # Warm up (compile) + correctness gate.
