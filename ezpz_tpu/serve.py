@@ -40,9 +40,21 @@ class SolverService:
     """Parses textual problems, caches compiled topologies, micro-batches
     same-topology requests arriving within ``batch_window_ms``."""
 
-    def __init__(self, batch_window_ms: float = 2.0, max_batch: int = 4096):
+    def __init__(self, batch_window_ms: float = 2.0, max_batch: int = 4096,
+                 precision: str = "auto"):
+        """``precision``: "f64", "mixed", or "auto" (default) — auto picks
+        the mixed f32+f64-refinement path on TPU backends (~6x the f64
+        throughput at the same verified 1e-8 tolerance; iteration counts in
+        responses then differ from the pure-f64 path) and plain f64
+        elsewhere."""
+        import jax
+
         from .config import Config
 
+        assert precision in ("auto", "f64", "mixed"), precision
+        if precision == "auto":
+            precision = "mixed" if jax.default_backend() not in ("cpu",) else "f64"
+        self.precision = precision
         self.config = Config()
         self.batch_window = batch_window_ms / 1000.0
         self.max_batch = max_batch
@@ -138,7 +150,11 @@ class SolverService:
         solver = self._solvers.get(key)
         if solver is None:
             system = compile_system(constraints0, n_vars)
-            solver = (BatchSolver(system, self.config, batch_params=True), system)
+            solver = (
+                BatchSolver(system, self.config, batch_params=True,
+                            precision=self.precision),
+                system,
+            )
             self._solvers[key] = solver
         batch_solver, system = solver
 

@@ -58,6 +58,21 @@ def test_service_batches_concurrent_same_topology():
     assert svc.stats["batches"] < svc.stats["requests"]
 
 
+def test_service_mixed_precision():
+    """precision='mixed' (the TPU default via 'auto') serves the same
+    solutions at the f64-verified tolerance."""
+    from ezpz_tpu.serve import SolverService
+
+    svc = SolverService(batch_window_ms=1.0, precision="mixed")
+    try:
+        out = svc.solve_text(_txt("tiny"))
+        assert out["converged"]
+        assert not out["unsatisfied"]
+        assert "points" in out
+    finally:
+        svc.shutdown()
+
+
 def test_service_parse_error():
     svc = serve.SolverService()
     try:
