@@ -40,30 +40,23 @@ class Component:
 def connected_components(
     constraints: Sequence[Constraint], n_vars: int
 ) -> List[Component]:
-    """Union-find over the variable-sharing graph."""
-    parent = list(range(n_vars))
+    """Union-find over the variable-sharing graph.
 
-    def find(a: int) -> int:
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
+    Delegates the find/union sweep to the native C++ extension
+    (``native/fastdecomp.cpp``) when available — the host-side bottleneck
+    for million-constraint systems — with an identical-result Python
+    fallback."""
+    deps: List[List[int]] = [c.dependent_variable_ids() for c in constraints]
 
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[rb] = ra
-
-    deps: List[List[int]] = []
-    for c in constraints:
-        ids = c.dependent_variable_ids()
-        deps.append(ids)
-        for other in ids[1:]:
-            union(ids[0], other)
+    roots = _component_roots_native(deps, n_vars)
+    if roots is None:
+        roots = _component_roots_python(deps, n_vars)
+    var_root, cons_root = roots
 
     groups: Dict[int, Component] = {}
-    for cid, ids in enumerate(deps):
-        root = find(ids[0]) if ids else -1
+    for cid, root in enumerate(cons_root):
+        if root < 0:
+            root = -1  # constraints with no variables group together
         comp = groups.get(root)
         if comp is None:
             comp = Component(constraint_ids=[], var_ids=[], local_of_global={})
@@ -72,15 +65,58 @@ def connected_components(
 
     # Attach variables (including any participating only via shared roots).
     root_vars: Dict[int, set] = defaultdict(set)
-    for ids in deps:
-        for vid in ids:
-            root_vars[find(vid)].add(vid)
+    for vid in range(n_vars):
+        r = var_root[vid]
+        if r >= 0:
+            root_vars[r].add(vid)
     for root, comp in groups.items():
-        comp.var_ids = sorted(root_vars[root])
+        comp.var_ids = sorted(root_vars.get(root, ()))
         comp.local_of_global = {g: i for i, g in enumerate(comp.var_ids)}
 
     # Deterministic order: by first constraint id.
     return sorted(groups.values(), key=lambda c: c.constraint_ids[0])
+
+
+def _component_roots_python(deps, n_vars):
+    """(var_root, cons_root) — Python union-find (fallback)."""
+    parent = list(range(n_vars))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    seen = [False] * n_vars
+    for ids in deps:
+        for vid in ids:
+            seen[vid] = True
+        for other in ids[1:]:
+            ra, rb = find(ids[0]), find(other)
+            if ra != rb:
+                parent[rb] = ra
+    var_root = [find(v) if seen[v] else -1 for v in range(n_vars)]
+    cons_root = [find(ids[0]) if ids else -1 for ids in deps]
+    return var_root, cons_root
+
+
+def _component_roots_native(deps, n_vars):
+    """(var_root, cons_root) via the C++ extension, or None."""
+    from ..native import load_fastdecomp
+
+    mod = load_fastdecomp()
+    if mod is None:
+        return None
+    offsets = np.zeros(len(deps) + 1, dtype=np.int32)
+    for i, ids in enumerate(deps):
+        offsets[i + 1] = offsets[i] + len(ids)
+    flat = np.fromiter(
+        (v for ids in deps for v in ids), dtype=np.int32, count=int(offsets[-1])
+    )
+    vr_bytes, cr_bytes = mod.components(n_vars, offsets, flat)
+    var_root = np.frombuffer(vr_bytes, dtype=np.int32)
+    cons_root = np.frombuffer(cr_bytes, dtype=np.int32)
+    return var_root.tolist(), cons_root.tolist()
 
 
 def _component_signature(

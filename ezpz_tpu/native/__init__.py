@@ -1,9 +1,12 @@
 """Native (C++) host-side components.
 
-``load_fastparse()`` returns the compiled parser module, building it with
-g++ on first use (cached as ``_fastparse.<abi>.so`` next to the source), or
-``None`` when no toolchain is available — callers fall back to the Python
-parser.
+Two CPython extensions, built with g++ on first use (cached as
+``_<name>.<abi>.so`` next to the source) with Python fallbacks when no
+toolchain is available:
+
+* ``fastparse``  — the textual-format parser (~20x the Python parser);
+* ``fastdecomp`` — union-find connected components over flat constraint
+  buffers (the host-side graph decomposition for huge systems).
 """
 
 from __future__ import annotations
@@ -16,25 +19,24 @@ import sysconfig
 from typing import Optional
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "fastparse.cpp")
-_cached = None
-_tried = False
+_cache: dict = {}
 
 
-def _so_path() -> str:
+def _so_path(name: str) -> str:
     tag = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
-    return os.path.join(_HERE, f"_fastparse{tag}")
+    return os.path.join(_HERE, f"_{name}{tag}")
 
 
-def build(verbose: bool = False) -> Optional[str]:
-    """Compile the extension; returns the .so path or None on failure."""
-    so = _so_path()
-    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(_SRC):
+def build(name: str = "fastparse", verbose: bool = False) -> Optional[str]:
+    """Compile one extension; returns the .so path or None on failure."""
+    src = os.path.join(_HERE, f"{name}.cpp")
+    so = _so_path(name)
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
         return so
     include = sysconfig.get_paths()["include"]
     cmd = [
         "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
-        f"-I{include}", _SRC, "-o", so,
+        f"-I{include}", src, "-o", so,
     ]
     try:
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
@@ -47,25 +49,33 @@ def build(verbose: bool = False) -> Optional[str]:
     return so
 
 
+def _load(name: str):
+    """The compiled module, or None (callers use their Python fallback)."""
+    if name in _cache:
+        return _cache[name]
+    mod = None
+    so = build(name)
+    if so is not None:
+        try:
+            spec = importlib.util.spec_from_file_location(
+                f"ezpz_tpu.native._{name}", so
+            )
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)  # type: ignore[union-attr]
+        except Exception:
+            mod = None
+    _cache[name] = mod
+    return mod
+
+
 def load_fastparse():
-    """The compiled module, or None (then use the Python parser)."""
-    global _cached, _tried
-    if _tried:
-        return _cached
-    _tried = True
-    so = build()
-    if so is None:
-        return None
-    try:
-        spec = importlib.util.spec_from_file_location("ezpz_tpu.native._fastparse", so)
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)  # type: ignore[union-attr]
-        _cached = mod
-    except Exception:
-        _cached = None
-    return _cached
+    return _load("fastparse")
+
+
+def load_fastdecomp():
+    return _load("fastdecomp")
 
 
 if __name__ == "__main__":
-    path = build(verbose=True)
-    print("built:", path)
+    for name in ("fastparse", "fastdecomp"):
+        print(name, "->", build(name, verbose=True))

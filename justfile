@@ -52,6 +52,6 @@ regen-viz-baselines:
 profile:
     EZPZ_TPU_PROFILE_DIR=profile python bench.py
 
-# Build the native C++ fast parser in-place.
+# Build the native C++ extensions (fast parser + decomposition) in-place.
 native:
-    python -c "from ezpz_tpu.native import build; build(verbose=True)"
+    python -c "from ezpz_tpu.native import build; print(build('fastparse', verbose=True)); print(build('fastdecomp', verbose=True))"
