@@ -67,10 +67,15 @@ def main():
     # fake the timing. Offsets of ~1e-9 don't change iteration counts.
     reps = int(os.environ.get("BENCH_REPS", "5"))
     n_variants = reps + 1  # +1 for the warmup
+    # The coarse phase runs as the Pallas VMEM-resident fori-loop kernel
+    # (ops/pallas_fleet.py) by default — measured ~40% faster end to end
+    # than the XLA while_loop coarse phase (BENCH_PALLAS=0 to compare).
+    pallas_coarse = os.environ.get("BENCH_PALLAS", "1") not in ("", "0")
     solvers = []
     for bucket in buckets:
         solver = BatchSolver(bucket.system, Config(), batch_params=True,
-                             precision=precision)
+                             precision=precision,
+                             pallas_coarse=pallas_coarse and precision == "mixed")
         # Tile ON DEVICE: uploading the pre-tiled (M*components, ...) host
         # arrays moves hundreds of MB through the remote tunnel; uploading
         # the per-component template (KBs) and tiling with jnp is instant.

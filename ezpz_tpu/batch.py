@@ -61,7 +61,8 @@ class BatchSolver:
     """
 
     def __init__(self, system: CompiledSystem, config: Config = Config(),
-                 batch_params: bool = False, precision: str = "f64"):
+                 batch_params: bool = False, precision: str = "f64",
+                 pallas_coarse: bool = False, pallas_trips: int = 4):
         """``precision``:
 
         * ``"f64"`` (default) — the reference-exact f64 LM loop;
@@ -69,12 +70,26 @@ class BatchSolver:
           (``solve_lm_mixed``): ~6x faster on TPU (no native f64 there),
           still verified to the f64 residual tolerance, but iteration
           counts do not match the reference's pinned values.
+
+        ``pallas_coarse`` (mixed only, small topologies): run the coarse
+        f32 phase as a Pallas kernel that keeps the whole fleet state in
+        VMEM for ``pallas_trips`` fixed LM iterations, then hand to the f64
+        refinement. Fastest path on TPU for huge fleets of tiny sketches;
+        lanes the short coarse phase leaves unconverged are finished (or
+        honestly reported unconverged) by the refinement's budget. Falls
+        back to the XLA coarse phase when the batch size does not tile.
         """
         assert precision in ("f64", "mixed"), precision
+        if pallas_coarse:
+            assert precision == "mixed", "pallas_coarse requires precision='mixed'"
+            assert batch_params, "pallas_coarse requires batch_params=True"
         self.system = system
         self.config = config
         self.batch_params = batch_params
         self.precision = precision
+        self.pallas_coarse = pallas_coarse
+        self.pallas_trips = pallas_trips
+        self._pallas_runs: dict = {}
         max_iterations = config.max_iterations
         # Small topologies solve via the unrolled (static-index) evaluator.
         ev64 = _maybe_unroll(system)
@@ -117,8 +132,95 @@ class BatchSolver:
                 )
             )
 
+        if pallas_coarse:
+            self._system32 = system.astype(jnp.float32)
+
+            def refine_one(x1, its, deg, pars, rtol, stol, lam0):
+                from .solver import solve_lm_refine
+
+                pars32 = tuple(p.astype(jnp.float32) for p in pars)
+                res = solve_lm_refine(
+                    ev64, ev32, x1, its, deg, max_iterations, rtol, stol,
+                    lam0, pars64=pars, pars32=pars32,
+                )
+                if fast_sat:
+                    sat = system.satisfaction_from_residual(res.residual)
+                else:
+                    sat = system.constraint_satisfaction(res.x, pars)
+                return res, sat
+
+            self._refine_run = jax.jit(
+                jax.vmap(refine_one, in_axes=(0, 0, 0, 0, None, None, None))
+            )
+
+    # -- pallas coarse phase --------------------------------------------------
+
+    def _pick_tile(self, B: int):
+        from .ops.pallas_fleet import DEFAULT_TILE, SUB
+
+        unit = 128 * SUB
+        cand = min(DEFAULT_TILE, (B // unit) * unit)
+        while cand >= unit:
+            if B % cand == 0:
+                return cand
+            cand -= unit
+        return None
+
+    def _pallas_coarse_run(self, B: int):
+        """Per-batch-size cached: pack -> pallas fori LM -> unpack, jitted."""
+        hit = self._pallas_runs.get(B)
+        if hit is not None:
+            return hit
+        tile = self._pick_tile(B)
+        if tile is None:
+            self._pallas_runs[B] = None  # batch doesn't tile: XLA fallback
+            return None
+
+        import jax as _jax
+
+        from .ops.pallas_fleet import (
+            make_coarse_fleet_solver,
+            pack_fleet,
+            unpack_rows,
+        )
+
+        c = self.config
+        kernel_run = make_coarse_fleet_solver(
+            self._system32,
+            self.pallas_trips,
+            5e-6,  # coarse tolerance: just above f32 round-off for O(1) coords
+            max(float(c.step_tolerance), 1e-7),
+            float(c.initial_lambda),
+            tile=tile,
+            interpret=(_jax.default_backend() == "cpu"),
+        )
+
+        def run(x0, pars):
+            x_p, pars_p = pack_fleet(x0.astype(jnp.float32), self._system32, pars)
+            xp, itp, _convp, degp = kernel_run(x_p, pars_p)
+            x1 = unpack_rows(xp)                       # (B, n) f32
+            its = unpack_rows(itp)[:, 0]               # (B,) i32
+            deg = unpack_rows(degp).astype(jnp.bool_)  # (B, n_cons)
+            return x1, its, deg
+
+        run = jax.jit(run)
+        self._pallas_runs[B] = run
+        return run
+
     def solve(self, x0: jnp.ndarray, pars: Optional[Tuple] = None) -> BatchResult:
         c = self.config
+        if self.pallas_coarse:
+            coarse = self._pallas_coarse_run(int(x0.shape[0]))
+            if coarse is not None:
+                x1, its, deg = coarse(jnp.asarray(x0), pars)
+                res, sat = self._refine_run(
+                    x1, its, deg, pars,
+                    c.residual_tolerance, c.step_tolerance, c.initial_lambda,
+                )
+                return BatchResult(
+                    x=res.x, iterations=res.iterations, converged=res.converged,
+                    satisfied=sat, degenerate=res.deg,
+                )
         args = (x0,) + ((pars,) if self.batch_params else ())
         res, sat = self._run(
             *args, c.residual_tolerance, c.step_tolerance, c.initial_lambda

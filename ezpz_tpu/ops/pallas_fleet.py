@@ -12,8 +12,10 @@ JAX formulation relies on, which dictates the kernel's shape:
 
 * no constant index arrays (gathers) / scatter-adds — evaluation is fully
   unrolled with static Python indexing;
-* no vmapped ``while_loop`` (vector loop predicates) — the loop is written
-  at tile level with ``cond = max(active_int) > 0``;
+* no vmapped ``while_loop`` (vector loop predicates), and even a scalar-
+  cond tile-level while measured ~15x slower than the same body under a
+  fixed-trip ``fori_loop`` — so the kernel runs exactly ``max_iterations``
+  trips with converged lanes frozen by predication;
 * heterogeneous loop carries mis-infer layouts — ALL state packs into two
   uniform 2-D carries (one f32, one i32; no i1 carries);
 * (1, TILE) rows waste 7/8 of the VPU's sublanes — every per-sketch scalar
@@ -266,14 +268,6 @@ def make_coarse_fleet_solver(
             deg = [row(I, 3 + i) for i in range(n_cons)]
             return xrows, r, r2, lam, it, iterations, done, deg
 
-        def cond(carry):
-            F, I = carry
-            _x, r, _r2, _lam, it, _its, done, _deg = unpack(F, I)
-            active = (~done) & (it < max_iterations) & (_rows_max_abs(r) > rtol)
-            # Scalar predicate via int32 max-reduce (jnp.any over a bool
-            # vector trips Mosaic's squeeze-to-scalar rule).
-            return jnp.max(active.astype(jnp.int32)) > 0
-
         def body(carry):
             F, I = carry
             xrows, r0_, r2_0, lam_0, it_0, iters_0, done_0, deg_0 = unpack(F, I)
@@ -320,7 +314,16 @@ def make_coarse_fleet_solver(
             )
             return (F_out, I_out)
 
-        F_f, I_f = jax.lax.while_loop(cond, body, (F0, I0))
+        # FIXED-trip fori_loop, not while_loop: Mosaic's lowering of a
+        # data-dependent while (scalar cond reduced from the tile each
+        # iteration) measured ~15x slower than the same body under fori
+        # (1024ms vs 68ms on the massive-fixture workload). Converged lanes
+        # are frozen by the body's act predication, so extra trips are
+        # no-ops; callers pick a small trip count and let the f64
+        # refinement phase finish any stragglers.
+        F_f, I_f = jax.lax.fori_loop(
+            0, max_iterations, lambda _k, c: body(c), (F0, I0)
+        )
         x_f, r_f, _r2, _lam, it_f, iters_f, done_f, deg_f = unpack(F_f, I_f)
         res_conv = _rows_max_abs(r_f) <= rtol
         converged = done_f | res_conv

@@ -403,7 +403,6 @@ def solve_lm_mixed(
     f64 path when those matter). Intended for the high-throughput fleet and
     benchmark paths.
     """
-    f64 = system64.dtype
     # Phase 1 is capped at ``coarse_max_iterations``: with large coordinates
     # an *absolute* 5e-6 inf-norm is below f32 round-off, and the reject
     # cascade that eventually step-converges is wasted f32 work — the f64
@@ -419,20 +418,48 @@ def solve_lm_mixed(
         initial_lambda,
         pars=pars32,
     )
+    return solve_lm_refine(
+        system64, system32, coarse.x, coarse.iterations, coarse.deg,
+        max_iterations, residual_tolerance, step_tolerance, initial_lambda,
+        pars64=pars64, pars32=pars32, refine_iterations=refine_iterations,
+    )
 
+
+def solve_lm_refine(
+    system64: CompiledSystem,
+    system32: CompiledSystem,
+    x_coarse: jnp.ndarray,
+    coarse_iterations,
+    coarse_deg,
+    max_iterations: int,
+    residual_tolerance,
+    step_tolerance,
+    initial_lambda,
+    pars64=None,
+    pars32=None,
+    refine_iterations: int = 6,
+) -> LMResult:
+    """The f64-residual refinement phase of ``solve_lm_mixed``, callable on
+    its own so alternative coarse phases (e.g. the Pallas fleet kernel) can
+    hand over: takes the coarse solution, its iteration count, and its
+    degenerate flags, and runs f64-residual / f32-Jacobian LM iterations to
+    the full tolerance. Reported iterations include the coarse count and
+    never exceed ``max_iterations``."""
+    f64 = system64.dtype
     n = system64.n_vars
     eye32 = jnp.eye(n, dtype=system32.dtype)
     rtol = jnp.asarray(residual_tolerance, f64)
     stol = jnp.asarray(step_tolerance, f64)
+    coarse_iterations = jnp.asarray(coarse_iterations, jnp.int32)
     # The refinement budget respects the caller's total iteration cap:
     # coarse + refine never exceeds max_iterations.
     refine_limit = jnp.clip(
-        jnp.asarray(max_iterations, jnp.int32) - coarse.iterations,
+        jnp.asarray(max_iterations, jnp.int32) - coarse_iterations,
         0,
         refine_iterations,
     )
 
-    x1 = coarse.x.astype(f64)
+    x1 = x_coarse.astype(f64)
     r0, deg0 = system64.residual_and_flags(x1, pars64)
     state = LMState(
         x=x1,
@@ -443,7 +470,7 @@ def solve_lm_mixed(
         done=jnp.asarray(False),
         converged=jnp.asarray(False),
         iterations=jnp.asarray(0, jnp.int32),
-        deg=coarse.deg | deg0,
+        deg=coarse_deg | deg0,
     )
 
     # Residual check in ``cond`` AND per-lane freezing in the body — same
@@ -498,7 +525,7 @@ def solve_lm_mixed(
     )
     return LMResult(
         x=final.x,
-        iterations=coarse.iterations + refine_count,
+        iterations=coarse_iterations + refine_count,
         converged=refined_ok,
         deg=final.deg,
         residual=final.r,

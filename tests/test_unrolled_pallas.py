@@ -71,6 +71,50 @@ def test_unrolled_solve_matches_compiled_solve():
     np.testing.assert_allclose(np.asarray(b.x), np.asarray(a.x), atol=1e-12)
 
 
+def test_batchsolver_pallas_coarse_matches_mixed():
+    """BatchSolver(pallas_coarse=True): Pallas fori coarse + f64 refinement
+    must converge, satisfy, and agree with the plain mixed path."""
+    from ezpz_tpu.batch import BatchSolver
+
+    system = _mixed_system()  # f64
+    B = 1024
+    rng = np.random.default_rng(3)
+    base = np.array([0.3, 0.1, 0.2, 3.3, 0.25, 3.2, 1.1])
+    x0 = jnp.asarray(np.tile(base, (B, 1)) + rng.normal(0, 0.02, (B, 7)))
+    pars = tuple(
+        jnp.asarray(np.tile(np.asarray(b.par), (B, 1, 1)))
+        for b in system.blocks
+    )
+
+    pal = BatchSolver(system, Config(), batch_params=True, precision="mixed",
+                      pallas_coarse=True).solve(x0, pars)
+    assert bool(np.asarray(pal.converged).all())
+    assert bool(np.asarray(pal.satisfied).all())
+
+    ref = BatchSolver(system, Config(), batch_params=True,
+                      precision="mixed").solve(x0, pars)
+    np.testing.assert_allclose(np.asarray(pal.x), np.asarray(ref.x), atol=1e-6)
+    assert int(np.asarray(pal.iterations).max()) <= Config().max_iterations
+
+
+def test_batchsolver_pallas_coarse_untileable_falls_back():
+    """A batch size that doesn't tile falls back to the XLA coarse phase."""
+    from ezpz_tpu.batch import BatchSolver
+
+    system = _mixed_system()
+    B = 7  # not a multiple of 1024
+    base = np.array([0.3, 0.1, 0.2, 3.3, 0.25, 3.2, 1.1])
+    x0 = jnp.asarray(np.tile(base, (B, 1)))
+    pars = tuple(
+        jnp.asarray(np.tile(np.asarray(b.par), (B, 1, 1)))
+        for b in system.blocks
+    )
+    out = BatchSolver(system, Config(), batch_params=True, precision="mixed",
+                      pallas_coarse=True).solve(x0, pars)
+    assert bool(np.asarray(out.converged).all())
+    assert bool(np.asarray(out.satisfied).all())
+
+
 def test_batched_lanes_freeze_on_convergence():
     """Regression: under vmap the while_loop runs until the SLOWEST lane
     finishes; already-converged lanes must freeze — identical x and
