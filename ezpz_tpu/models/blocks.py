@@ -259,7 +259,13 @@ class BlockSolver:
         n_vars: int,
         weights: Optional[Sequence[float]] = None,
         config: Config = Config(),
+        precision: str = "f64",
+        pallas_coarse: bool = False,
     ):
+        """``precision``/``pallas_coarse`` select the fleet fast paths (see
+        ``BatchSolver``): "mixed" for f32+f64-refinement throughput on TPU,
+        plus the Pallas VMEM-resident coarse kernel when the component
+        batches tile. The default stays reference-exact f64."""
         import jax.numpy as jnp
 
         from ..batch import BatchSolver
@@ -270,7 +276,10 @@ class BlockSolver:
         self.buckets = build_buckets(constraints, n_vars, weights)
         self.n_components = sum(len(b.components) for b in self.buckets)
         self._solvers = [
-            BatchSolver(b.system, config, batch_params=True) for b in self.buckets
+            BatchSolver(b.system, config, batch_params=True,
+                        precision=precision,
+                        pallas_coarse=pallas_coarse and precision == "mixed")
+            for b in self.buckets
         ]
         self._pars = [tuple(jnp.asarray(p) for p in b.pars) for b in self.buckets]
 

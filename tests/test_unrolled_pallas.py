@@ -97,6 +97,53 @@ def test_batchsolver_pallas_coarse_matches_mixed():
     assert int(np.asarray(pal.iterations).max()) <= Config().max_iterations
 
 
+def test_pallas_coarse_reports_degenerate_flags():
+    """Degenerate evaluations seen inside the Pallas coarse phase (or the
+    refinement) must surface in the result's flags: coincident points under
+    a Distance constraint mark its Jacobian degenerate."""
+    from ezpz_tpu.batch import BatchSolver
+
+    p0, p1 = DatumPoint(0, 1), DatumPoint(2, 3)
+    cs = [
+        Constraint.Fixed(p0.x_id, 0.0),
+        Constraint.Fixed(p0.y_id, 0.0),
+        Constraint.Distance(p0, p1, 2.0),
+    ]
+    system = compile_system(cs, n_vars=4)
+    B = 1024
+    # Every lane starts with p1 exactly on p0: the distance kernel's first
+    # evaluation is degenerate.
+    x0 = jnp.asarray(np.zeros((B, 4)))
+    pars = tuple(
+        jnp.asarray(np.tile(np.asarray(b.par), (B, 1, 1)))
+        for b in system.blocks
+    )
+    out = BatchSolver(system, Config(), batch_params=True, precision="mixed",
+                      pallas_coarse=True).solve(x0, pars)
+    deg = np.asarray(out.degenerate)  # (B, 3)
+    assert deg[:, 2].all()  # the Distance constraint flagged on every lane
+    assert not deg[:, 0].any() and not deg[:, 1].any()  # Fixed never flags
+
+
+def test_blocksolver_mixed_pallas():
+    """BlockSolver passes the precision/pallas options through to its
+    per-bucket fleet solvers."""
+    from ezpz_tpu.models.blocks import BlockSolver
+
+    p, q = DatumPoint(0, 1), DatumPoint(2, 3)
+    cs = [
+        Constraint.Fixed(p.x_id, 0.0),
+        Constraint.Fixed(p.y_id, 0.0),
+        Constraint.Distance(p, q, 4.0),
+        Constraint.Vertical(DatumLineSegment(p, q)),
+    ]
+    x0 = np.array([0.1, -0.1, 0.2, 4.3])
+    ref = BlockSolver(cs, 4).solve(x0)
+    mix = BlockSolver(cs, 4, precision="mixed", pallas_coarse=True).solve(x0)
+    assert mix.converged and mix.satisfied.all()
+    np.testing.assert_allclose(mix.x, ref.x, atol=1e-6)
+
+
 def test_batchsolver_pallas_coarse_untileable_falls_back():
     """A batch size that doesn't tile falls back to the XLA coarse phase."""
     from ezpz_tpu.batch import BatchSolver
