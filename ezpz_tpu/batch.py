@@ -167,16 +167,16 @@ class BatchSolver:
         return None
 
     def _pallas_coarse_run(self, B: int):
-        """Per-batch-size cached: pack -> pallas fori LM -> unpack, jitted."""
-        hit = self._pallas_runs.get(B)
-        if hit is not None:
-            return hit
+        """Per-batch-size cached: pack -> pallas fori LM -> unpack, jitted.
+        Returns None (XLA coarse fallback) when the batch doesn't tile or
+        the topology is too large to unroll in a kernel."""
+        if B in self._pallas_runs:
+            return self._pallas_runs[B]
+        n_instances = sum(int(b.idx.shape[0]) for b in self.system.blocks)
         tile = self._pick_tile(B)
-        if tile is None:
-            self._pallas_runs[B] = None  # batch doesn't tile: XLA fallback
+        if tile is None or not (0 < n_instances <= UNROLL_MAX_INSTANCES):
+            self._pallas_runs[B] = None
             return None
-
-        import jax as _jax
 
         from .ops.pallas_fleet import (
             make_coarse_fleet_solver,
@@ -187,12 +187,15 @@ class BatchSolver:
         c = self.config
         kernel_run = make_coarse_fleet_solver(
             self._system32,
-            self.pallas_trips,
+            # The kernel's fixed trip count respects the iteration budget.
+            min(self.pallas_trips, c.max_iterations),
             5e-6,  # coarse tolerance: just above f32 round-off for O(1) coords
             max(float(c.step_tolerance), 1e-7),
             float(c.initial_lambda),
             tile=tile,
-            interpret=(_jax.default_backend() == "cpu"),
+            # Mosaic only targets TPU; everywhere else runs the (slow but
+            # correct) interpreter — tests use it on CPU.
+            interpret=(jax.default_backend() != "tpu"),
         )
 
         def run(x0, pars):

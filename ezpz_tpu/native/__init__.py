@@ -16,10 +16,15 @@ import os
 import subprocess
 import sys
 import sysconfig
+import threading
 from typing import Optional
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _cache: dict = {}
+# Guards first-use compilation + dlopen: concurrent threads (the HTTP
+# service) must not race two g++ processes onto the same .so or dlopen a
+# half-written file (which would cache a spurious None forever).
+_lock = threading.Lock()
 
 
 def _so_path(name: str) -> str:
@@ -53,19 +58,22 @@ def _load(name: str):
     """The compiled module, or None (callers use their Python fallback)."""
     if name in _cache:
         return _cache[name]
-    mod = None
-    so = build(name)
-    if so is not None:
-        try:
-            spec = importlib.util.spec_from_file_location(
-                f"ezpz_tpu.native._{name}", so
-            )
-            mod = importlib.util.module_from_spec(spec)
-            spec.loader.exec_module(mod)  # type: ignore[union-attr]
-        except Exception:
-            mod = None
-    _cache[name] = mod
-    return mod
+    with _lock:
+        if name in _cache:  # built while we waited
+            return _cache[name]
+        mod = None
+        so = build(name)
+        if so is not None:
+            try:
+                spec = importlib.util.spec_from_file_location(
+                    f"ezpz_tpu.native._{name}", so
+                )
+                mod = importlib.util.module_from_spec(spec)
+                spec.loader.exec_module(mod)  # type: ignore[union-attr]
+            except Exception:
+                mod = None
+        _cache[name] = mod
+        return mod
 
 
 def load_fastparse():

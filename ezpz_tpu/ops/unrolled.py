@@ -66,13 +66,32 @@ class UnrolledSystem:
              else jnp.zeros((0,), self.dtype))
         return r, jnp.stack(deg) if deg else jnp.zeros((0,), jnp.bool_)
 
+    @staticmethod
+    def _accumulate(jtj_acc, jtr_acc, ids, wjac, wres):
+        """Add one instance's JtJ/Jtr contributions in place.
+
+        ``wjac``: (dim, nv) weighted Jacobian; ``wres``: indexable of dim
+        weighted-residual scalars. Contractions unroll over the tiny
+        residual dim — pure adds/muls (no dot_general), which both XLA and
+        Mosaic lower happily.
+        """
+        dim = wjac.shape[0]
+        for a, ga in enumerate(ids):
+            acc = wjac[0, a] * wres[0]
+            for d in range(1, dim):
+                acc = acc + wjac[d, a] * wres[d]
+            jtr_acc[ga] = jtr_acc[ga] + acc
+            for b_, gb in enumerate(ids):
+                acc2 = wjac[0, a] * wjac[0, b_]
+                for d in range(1, dim):
+                    acc2 = acc2 + wjac[d, a] * wjac[d, b_]
+                jtj_acc[ga][gb] = jtj_acc[ga][gb] + acc2
+
     def normal_equations(self, x: jnp.ndarray, pars=None):
         n = self.n_vars
         zero = jnp.zeros((), self.dtype)
         # Accumulate JtJ/Jtr as Python lists of traced scalars and stack
-        # ONCE at the end: no gathers, no scatter-adds, no dot_general —
-        # only elementwise adds/muls, which both XLA and Mosaic (Pallas)
-        # lower happily. Contractions unroll over the tiny residual dim.
+        # ONCE at the end: no gathers, no scatter-adds.
         jtj_acc = [[zero for _ in range(n)] for _ in range(n)]
         jtr_acc = [zero for _ in range(n)]
         rows = []
@@ -82,17 +101,7 @@ class UnrolledSystem:
             jac, (res, dg) = _jac_with_value(fn, v, p)
             wjac = jac * w  # (dim, nv)
             wres = res * w  # (dim,)
-            dim = wjac.shape[0]
-            for a, ga in enumerate(ids):
-                acc = wjac[0, a] * wres[0]
-                for d in range(1, dim):
-                    acc = acc + wjac[d, a] * wres[d]
-                jtr_acc[ga] = jtr_acc[ga] + acc
-                for b_, gb in enumerate(ids):
-                    acc2 = wjac[0, a] * wjac[0, b_]
-                    for d in range(1, dim):
-                        acc2 = acc2 + wjac[d, a] * wjac[d, b_]
-                    jtj_acc[ga][gb] = jtj_acc[ga][gb] + acc2
+            self._accumulate(jtj_acc, jtr_acc, ids, wjac, wres)
             rows.append(wres)
             if can_deg:
                 deg[cid] = deg[cid] | dg
@@ -117,21 +126,12 @@ class UnrolledSystem:
         deg = [jnp.asarray(False)] * self.n_constraints
         row = 0
         for fn, ids, p, w, cid, can_deg in self._instances(pars):
-            jac, (res, dg) = _jac_with_value(fn, jnp.stack([x[j] for j in ids]), p)
+            jac, (_res, dg) = _jac_with_value(fn, jnp.stack([x[j] for j in ids]), p)
             wjac = jac * w  # (dim, nv)
             dim = wjac.shape[0]
             wres = [r64[row + d].astype(self.dtype) for d in range(dim)]
             row += dim
-            for a, ga in enumerate(ids):
-                acc = wjac[0, a] * wres[0]
-                for d in range(1, dim):
-                    acc = acc + wjac[d, a] * wres[d]
-                jtr_acc[ga] = jtr_acc[ga] + acc
-                for b_, gb in enumerate(ids):
-                    acc2 = wjac[0, a] * wjac[0, b_]
-                    for d in range(1, dim):
-                        acc2 = acc2 + wjac[d, a] * wjac[d, b_]
-                    jtj_acc[ga][gb] = jtj_acc[ga][gb] + acc2
+            self._accumulate(jtj_acc, jtr_acc, ids, wjac, wres)
             if can_deg:
                 deg[cid] = deg[cid] | dg
         jtj = jnp.stack([jnp.stack(r_) for r_ in jtj_acc])

@@ -53,7 +53,10 @@ class SolverService:
 
         assert precision in ("auto", "f64", "mixed"), precision
         if precision == "auto":
-            precision = "mixed" if jax.default_backend() not in ("cpu",) else "f64"
+            # Only TPU lacks native f64; GPUs/CPU keep the reference-exact
+            # path (mixed would change reported iteration counts for no
+            # throughput reason there).
+            precision = "mixed" if jax.default_backend() == "tpu" else "f64"
         self.precision = precision
         self.config = Config()
         self.batch_window = batch_window_ms / 1000.0

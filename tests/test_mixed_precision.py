@@ -203,6 +203,24 @@ def test_mixed_respects_iteration_budget():
         assert int(res.iterations) <= budget, (budget, int(res.iterations))
 
 
+def test_pallas_coarse_respects_iteration_budget():
+    """The Pallas coarse trips are clipped to config.max_iterations too."""
+    from ezpz_tpu.batch import BatchSolver
+
+    constraints, x0 = _square_system()
+    system = compile_system(constraints, n_vars=len(x0))
+    B = 1024
+    x0b = jnp.asarray(np.tile(x0, (B, 1)))
+    pars = tuple(
+        jnp.asarray(np.tile(np.asarray(b.par), (B, 1, 1)))
+        for b in system.blocks
+    )
+    out = BatchSolver(system, Config().with_max_iterations(2),
+                      batch_params=True, precision="mixed",
+                      pallas_coarse=True).solve(x0b, pars)
+    assert int(np.asarray(out.iterations).max()) <= 2
+
+
 def test_mixed_inconsistent_terminates():
     """Least-squares compromise systems (residual can't reach tolerance)
     must still terminate with converged=False or step-converge, not hang."""
