@@ -1,0 +1,97 @@
+"""Independent-oracle check: our LM vs scipy.optimize.least_squares.
+
+The golden fixtures pin coordinates the REFERENCE produced; this file
+cross-checks against a third implementation nobody here wrote. For random
+well-posed systems, both optimizers must drive the same residual function
+to (the same) zero — final residual norms agree and solved coordinates
+match wherever the minimum is unique.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from scipy.optimize import least_squares
+
+import ezpz_tpu as ez
+from ezpz_tpu.constraints import Constraint, ConstraintRequest
+from ezpz_tpu.datatypes import DatumLineSegment, DatumPoint
+from ezpz_tpu.models.compiled import compile_system
+
+RNG = np.random.default_rng(424242)
+
+
+def _random_quad_system(rng):
+    """A well-posed quadrilateral: corner pinned, two sides dimensioned,
+    one diagonal fixed, angles via horizontal/vertical sides."""
+    p = [DatumPoint(2 * i, 2 * i + 1) for i in range(4)]
+    w = float(rng.uniform(2.0, 6.0))
+    h = float(rng.uniform(2.0, 6.0))
+    ox, oy = rng.uniform(-3, 3, 2)
+    constraints = [
+        Constraint.Fixed(p[0].x_id, float(ox)),
+        Constraint.Fixed(p[0].y_id, float(oy)),
+        Constraint.Horizontal(DatumLineSegment(p[0], p[1])),
+        Constraint.Vertical(DatumLineSegment(p[1], p[2])),
+        Constraint.Horizontal(DatumLineSegment(p[2], p[3])),
+        Constraint.Vertical(DatumLineSegment(p[3], p[0])),
+        Constraint.Distance(p[0], p[1], w),
+        Constraint.Distance(p[1], p[2], h),
+    ]
+    x0 = np.array([
+        ox, oy,
+        ox + w + rng.uniform(-0.3, 0.3), oy + rng.uniform(-0.3, 0.3),
+        ox + w + rng.uniform(-0.3, 0.3), oy + h + rng.uniform(-0.3, 0.3),
+        ox + rng.uniform(-0.3, 0.3), oy + h + rng.uniform(-0.3, 0.3),
+    ])
+    return constraints, x0
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_matches_scipy_least_squares(trial):
+    rng = np.random.default_rng(1000 + trial)
+    constraints, x0 = _random_quad_system(rng)
+    system = compile_system(constraints, n_vars=len(x0))
+
+    # Ours.
+    reqs = [ConstraintRequest.highest_priority(c) for c in constraints]
+    ours = ez.solve(reqs, list(enumerate(x0)), ez.Config())
+    assert ours.converged
+
+    # scipy, driving the SAME residual function (our compiled system).
+    def residual(x):
+        return np.asarray(system.residual(x))
+
+    ref = least_squares(residual, x0, method="lm", xtol=1e-14, ftol=1e-14)
+    assert np.linalg.norm(ref.fun, np.inf) < 1e-8
+
+    np.testing.assert_allclose(
+        np.asarray(ours.final_values), ref.x, atol=1e-6,
+        err_msg=f"trial {trial}: ours vs scipy diverge",
+    )
+
+
+def test_inconsistent_compromise_matches_scipy():
+    """For an over-determined inconsistent system, both optimizers find the
+    same least-squares compromise (same residual norm; unique minimum)."""
+    p0, p1 = DatumPoint(0, 1), DatumPoint(2, 3)
+    constraints = [
+        Constraint.Fixed(p0.x_id, 0.0),
+        Constraint.Fixed(p0.y_id, 0.0),
+        Constraint.Fixed(p1.x_id, 3.0),
+        Constraint.Fixed(p1.y_id, 0.0),
+        Constraint.Distance(p0, p1, 4.0),  # contradicts |p1-p0| = 3
+    ]
+    system = compile_system(constraints, n_vars=4)
+    x0 = np.array([0.1, 0.0, 3.1, 0.1])
+
+    reqs = [ConstraintRequest.highest_priority(c) for c in constraints]
+    ours = ez.solve(reqs, list(enumerate(x0)), ez.Config())
+
+    def residual(x):
+        return np.asarray(system.residual(x))
+
+    ref = least_squares(residual, x0, method="lm", xtol=1e-14, ftol=1e-14)
+    ours_cost = 0.5 * float(np.sum(residual(np.asarray(ours.final_values)) ** 2))
+    assert abs(ours_cost - ref.cost) < 1e-10
+    np.testing.assert_allclose(np.asarray(ours.final_values), ref.x, atol=1e-5)
