@@ -103,6 +103,21 @@ def test_sharded_schur_matches_global_solve():
     np.testing.assert_allclose(res["x"], global_out.final_values, atol=1e-6)
 
 
+def test_sharded_schur_mixed_precision():
+    """precision='mixed' (f32 linear algebra, f64 residuals): same solution
+    at the f64-verified tolerance as the pure-f64 sharded solve."""
+    from jax.sharding import Mesh
+
+    constraints, x0 = _coupled_chain_problem()
+    mesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+    ref = ShardedSchurSolver(constraints, len(x0), mesh=mesh).solve(x0)
+    mix = ShardedSchurSolver(constraints, len(x0), mesh=mesh,
+                             precision="mixed").solve(x0)
+    assert mix["converged"]
+    assert mix["satisfied"].all()
+    np.testing.assert_allclose(mix["x"], ref["x"], atol=1e-6)
+
+
 def test_sharded_schur_no_coupling():
     """Degenerate case: no cross-partition constraints at all."""
     _need_devices()
