@@ -1,0 +1,38 @@
+"""The benchmark scripts must keep running (bitrot guards): one tiny
+iteration of the criterion-style suite and of the scaling bench on the
+faked CPU mesh."""
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=420):
+    env = dict(os.environ)
+    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run([sys.executable] + args, capture_output=True,
+                          text=True, timeout=timeout, cwd=ROOT, env=env)
+
+
+def test_solver_bench_runs():
+    proc = _run(["benches/solver_bench.py", "--cpu", "--json", "--iters", "1",
+                 "--only", "solve_two_rectangles"])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, proc.stdout
+    rec = json.loads(lines[0])
+    assert rec["bench"].startswith("solve_two_rectangles")
+    assert rec["solves_per_sec"] > 0
+
+
+def test_scaling_bench_runs():
+    proc = _run(["benches/scaling_bench.py", "--devices", "2", "--reps", "1",
+                 "--fleet-per-device", "64", "--schur-points-per-device", "6"])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rec = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][0])
+    assert rec["metric"] == "weak_scaling_efficiency"
+    assert rec["devices"] == 2
