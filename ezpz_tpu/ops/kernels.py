@@ -295,8 +295,15 @@ def k_symmetric(v, p):
     dot = sx * dx + sy * dy
     refx = 2.0 * dx * dot / r_s - sx
     refy = 2.0 * dy * dot / r_s - sy
-    raw_refx = 2.0 * dx * dot / r - sx
-    raw_refy = 2.0 * dy * dot / r - sy
+    # Raw (degenerate-branch) value: the reference divides by the
+    # unsanitized |q-p|^2 and emits NaN when the mirror endpoints coincide
+    # exactly (vector.rs reflect -> reject, 0/0). A NaN residual poisons
+    # the whole solve, so we deliberately deviate: divide by a zero-guarded
+    # denominator, keeping the value finite while the degenerate flag (and
+    # its warning) still fires.
+    r_z = jnp.where(r == 0.0, 1.0, r)
+    raw_refx = 2.0 * dx * dot / r_z - sx
+    raw_refy = 2.0 * dy * dot / r_z - sy
     r0 = _guard(deg, raw_refx - bx + px, refx - bx + px)
     r1 = _guard(deg, raw_refy - by + py, refy - by + py)
     return jnp.stack([r0, r1]), deg

@@ -74,7 +74,7 @@ def solve_lm(
     n = system.n_vars
     eye = jnp.eye(n, dtype=dtype)
 
-    r0, deg0 = system.residual_and_flags(x0, pars)
+    r0, deg0 = system.residual_and_flags(x0.astype(dtype), pars)
     # The initial eval also refreshes the Jacobian in the reference
     # (newton.rs:45 -> eval -> refresh_jacobian); its degenerate flags match
     # the residual's predicates for value-guarded kinds and are accumulated
@@ -108,7 +108,8 @@ def solve_lm(
         return (~s.done) & (s.it < max_iterations) & (jnp.max(jnp.abs(s.r)) > rtol)
 
     def body(s: LMState) -> LMState:
-        res_now = (jnp.max(jnp.abs(s.r)) <= rtol) & ~s.done
+        res_now = (jnp.max(jnp.abs(s.r)) <= rtol) & ~s.done & (
+            s.it < max_iterations)
         act = ~s.done & ~res_now
 
         if debug_jac:
@@ -155,11 +156,13 @@ def solve_lm(
         )
 
     final = jax.lax.while_loop(cond, body, state)
-    res_conv = jnp.max(jnp.abs(final.r)) <= rtol
-    converged = final.converged | res_conv
     # Residual convergence reports iterations = steps taken so far
-    # (newton.rs:50-60); step convergence pinned its index inside the loop;
-    # hitting max_iterations reports max_iterations with converged = False.
+    # (newton.rs:50-60); step convergence pinned its index inside the loop.
+    # An exhausted budget reports max_iterations with converged = False even
+    # when the LAST step landed inside tolerance: the reference never
+    # re-checks after its final iteration (newton.rs:47-60,141-144).
+    res_conv = (jnp.max(jnp.abs(final.r)) <= rtol) & (final.it < max_iterations)
+    converged = final.converged | res_conv
     iterations = jnp.where(
         final.done,
         final.iterations,
@@ -193,7 +196,7 @@ def solve_gauss_newton(
     rtol = jnp.asarray(residual_tolerance, dtype)
     stol = jnp.asarray(step_tolerance, dtype)
 
-    r0, deg0 = system.residual_and_flags(x0, pars)
+    r0, deg0 = system.residual_and_flags(x0.astype(dtype), pars)
     state = LMState(
         x=x0.astype(dtype),
         r=r0,
@@ -218,9 +221,12 @@ def solve_gauss_newton(
         d, fail = spd_solve(a, -jtr)
         step_inf = jnp.max(jnp.abs(d))
 
-        x = jnp.where(act, s.x + d, s.x)
+        # A factorization failure must not step (d is zero-filled) and must
+        # NOT count as step-size convergence — without this guard a non-SPD
+        # system would silently report converged=True at the unsolved point.
+        x = jnp.where(act & ~fail, s.x + d, s.x)
         deg = s.deg | jnp.where(act, deg_j, jnp.zeros_like(deg_j))
-        step_conv = act & (step_inf <= stol)
+        step_conv = act & (~fail) & (step_inf <= stol)
         done = res_conv | step_conv
         return LMState(
             x=x,
@@ -292,7 +298,7 @@ def solve_lm_cg(
     rtol = jnp.asarray(residual_tolerance, dtype)
     stol = jnp.asarray(step_tolerance, dtype)
 
-    r0, deg0 = system.residual_and_flags(x0, pars)
+    r0, deg0 = system.residual_and_flags(x0.astype(dtype), pars)
     state = LMState(
         x=x0.astype(dtype),
         r=r0,
@@ -310,7 +316,8 @@ def solve_lm_cg(
         return (~s.done) & (s.it < max_iterations) & (jnp.max(jnp.abs(s.r)) > rtol)
 
     def body(s: LMState) -> LMState:
-        res_now = (jnp.max(jnp.abs(s.r)) <= rtol) & ~s.done
+        res_now = (jnp.max(jnp.abs(s.r)) <= rtol) & ~s.done & (
+            s.it < max_iterations)
         act = ~s.done & ~res_now
 
         _r, jtr, wjacs, deg_j = system.jacobian_factors(s.x, pars)
@@ -353,7 +360,8 @@ def solve_lm_cg(
         )
 
     final = jax.lax.while_loop(cond, body, state)
-    res_conv = jnp.max(jnp.abs(final.r)) <= rtol
+    # Same budget-boundary semantics as solve_lm (see comment there).
+    res_conv = (jnp.max(jnp.abs(final.r)) <= rtol) & (final.it < max_iterations)
     iterations = jnp.where(
         final.done,
         final.iterations,

@@ -1,0 +1,69 @@
+"""Regression tests for solver edge cases found by adversarial review."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import ezpz_tpu  # noqa: F401
+from ezpz_tpu.config import Config
+from ezpz_tpu.constraints import Constraint
+from ezpz_tpu.datatypes import DatumLineSegment, DatumPoint
+from ezpz_tpu.models.compiled import compile_system
+from ezpz_tpu.ops.kernels import KERNELS
+from ezpz_tpu.solver import solve_gauss_newton, solve_lm
+
+
+def test_budget_boundary_reports_unconverged():
+    """The reference checks the residual only at the TOP of each of its
+    max_iterations iterations (newton.rs:47-60,141-144): a solve whose LAST
+    allowed step lands inside tolerance still reports converged=False with
+    iterations=max_iterations. A post-loop recheck must not differ."""
+    c = [Constraint.Fixed(0, 3.0)]
+    system = compile_system(c, n_vars=1)
+    res = solve_lm(system, jnp.asarray(np.array([10.0])), 1, 1e-8, 1e-12, 1e-9)
+    # The single allowed (linear) step solves it exactly...
+    assert float(jnp.max(jnp.abs(res.residual))) <= 1e-8
+    # ...but the budget is exhausted before the next top-of-iteration check.
+    assert not bool(res.converged)
+    assert int(res.iterations) == 1
+
+    # One more iteration of budget: now the check happens and reports 1.
+    res2 = solve_lm(system, jnp.asarray(np.array([10.0])), 2, 1e-8, 1e-12, 1e-9)
+    assert bool(res2.converged)
+    assert int(res2.iterations) == 1
+
+
+def test_gauss_newton_factorization_failure_not_converged():
+    """A non-SPD normal-equations matrix (underconstrained system, zero
+    damping) zero-fills the step; that must NOT register as step-size
+    convergence at the unsolved point."""
+    p, q = DatumPoint(0, 1), DatumPoint(2, 3)
+    # Only a distance constraint: JtJ is rank-1 on 4 vars -> singular.
+    c = [Constraint.Distance(p, q, 4.0)]
+    system = compile_system(c, n_vars=4)
+    x0 = jnp.asarray(np.array([0.0, 0.0, 1.0, 0.0]))
+    res = solve_gauss_newton(system, x0, 5, 1e-8, 1e-12, 0.0)
+    assert not bool(res.converged)
+    # x frozen at the (unsolved) start, not silently accepted.
+    assert float(jnp.max(jnp.abs(res.x - x0))) == 0.0
+
+
+def test_symmetric_degenerate_mirror_line_stays_finite():
+    """Exactly coincident mirror-line endpoints: the reference's residual
+    divides 0/0 and NaNs; ours deliberately stays finite and flags the
+    degeneracy instead (see k_symmetric)."""
+    spec = KERNELS["symmetric"]
+    v = jnp.asarray(np.array([0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 2.0, 0.0]))
+    res, deg = spec.fn(v, jnp.zeros((0,)))
+    assert bool(deg)
+    assert np.isfinite(np.asarray(res)).all()
+
+
+def test_solve_lm_accepts_f64_guess_on_f32_system():
+    """x0 dtype must not leak into the loop carry (latent trace-time
+    mismatch): an f64 guess on an f32 system casts cleanly."""
+    c = [Constraint.Fixed(0, 1.5)]
+    system = compile_system(c, n_vars=1, dtype=jnp.float32)
+    res = solve_lm(system, jnp.asarray(np.array([0.0], np.float64)),
+                   10, 1e-5, 1e-7, 1e-9)
+    assert bool(res.converged)
+    assert res.x.dtype == jnp.float32
