@@ -52,38 +52,18 @@ class LMResult(NamedTuple):
     residual: jnp.ndarray  # weighted residual at the final x
 
 
-def solve_lm(
-    system: CompiledSystem,
-    x0: jnp.ndarray,
-    max_iterations: int,
-    residual_tolerance,
-    step_tolerance,
-    initial_lambda,
-    pars=None,
-    debug_jac: bool = False,
-) -> LMResult:
-    """Run the LM loop on one system. Pure and jit/vmap-compatible.
-
-    ``pars`` optionally overrides the per-block parameter arrays (dynamic
-    parameters for the fleet-batching path). ``debug_jac`` (static) prints
-    the dense weighted Jacobian every iteration — the analog of the
-    reference's ``dbg-jac`` compile-time feature (``solver.rs:370-439``,
-    ``ezpz/Cargo.toml:16``); enable via ``EZPZ_TPU_DBG_JAC=1`` on the
-    public API."""
+def _init_state(system, x0, initial_lambda, lam_dtype=None, pars=None,
+                deg_extra=None):
+    """Initial LM carry: residual (+ flags) evaluated at the cast x0."""
     dtype = system.dtype
-    n = system.n_vars
-    eye = jnp.eye(n, dtype=dtype)
-
     r0, deg0 = system.residual_and_flags(x0.astype(dtype), pars)
-    # The initial eval also refreshes the Jacobian in the reference
-    # (newton.rs:45 -> eval -> refresh_jacobian); its degenerate flags match
-    # the residual's predicates for value-guarded kinds and are accumulated
-    # again on the first normal-equations eval below, so deg0 suffices here.
-    state = LMState(
+    if deg_extra is not None:
+        deg0 = deg0 | deg_extra
+    return LMState(
         x=x0.astype(dtype),
         r=r0,
         r2=jnp.sum(r0 * r0),
-        lam=jnp.asarray(initial_lambda, dtype),
+        lam=jnp.asarray(initial_lambda, lam_dtype or dtype),
         it=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
         converged=jnp.asarray(False),
@@ -91,39 +71,50 @@ def solve_lm(
         deg=deg0,
     )
 
-    rtol = jnp.asarray(residual_tolerance, dtype)
-    stol = jnp.asarray(step_tolerance, dtype)
 
-    # The reference checks the residual tolerance at the TOP of each
-    # iteration (newton.rs:50-60). That check lives in BOTH places here:
-    # - in ``cond``: an unbatched solve exits without paying for a final
-    #   detection pass of the body (a third of the work for typical
-    #   2-iteration solves);
-    # - as per-lane predication (``act``) in the body: under ``vmap`` the
-    #   batched while_loop keeps running until the slowest lane finishes,
-    #   and converged lanes must FREEZE — continuing to step them would
-    #   drift underconstrained solutions and corrupt per-lane iteration
-    #   counts. (Frozen lanes also include step-converged ones.)
+def _lm_while_loop(state, eval_fn, step_fn, limit, rtol, stol,
+                   boundary_parity: bool, debug_fn=None):
+    """The shared LM accept/reject loop.
+
+    The reference checks the residual tolerance at the TOP of each iteration
+    (newton.rs:50-60). That check lives in BOTH places here:
+    - in ``cond``: an unbatched solve exits without paying for a final
+      detection pass of the body (a third of the work for typical
+      2-iteration solves);
+    - as per-lane predication (``act``) in the body: under ``vmap`` the
+      batched while_loop keeps running until the slowest lane finishes, and
+      converged lanes must FREEZE — continuing to step them would drift
+      underconstrained solutions and corrupt per-lane iteration counts.
+      (Frozen lanes also include step-converged ones.)
+
+    ``step_fn(s) -> (d, fail, deg_j)`` computes the damped step (and the
+    Jacobian pass's degenerate flags); ``eval_fn(x) -> (r, deg)`` evaluates
+    the trial residual. A failed factorization is a rejected step and never
+    counts as step-size convergence.
+
+    ``boundary_parity``: the reference never re-checks the residual after
+    its final iteration (newton.rs:47-60,141-144) — with True, residual
+    convergence only counts while steps remain, matching that exactly; the
+    f64 refinement passes False (its ``converged`` is a pure verification
+    statement). Returns ``(final_state, res_conv)``.
+    """
+
     def cond(s: LMState):
-        return (~s.done) & (s.it < max_iterations) & (jnp.max(jnp.abs(s.r)) > rtol)
+        return (~s.done) & (s.it < limit) & (jnp.max(jnp.abs(s.r)) > rtol)
 
     def body(s: LMState) -> LMState:
-        res_now = (jnp.max(jnp.abs(s.r)) <= rtol) & ~s.done & (
-            s.it < max_iterations)
+        res_now = (jnp.max(jnp.abs(s.r)) <= rtol) & ~s.done
+        if boundary_parity:
+            res_now = res_now & (s.it < limit)
         act = ~s.done & ~res_now
 
-        if debug_jac:
-            jax.debug.print(
-                "dbg-jac: iteration {it}, dense Jacobian =\n{j}",
-                it=s.it, j=system.jacobian_dense(s.x, pars),
-            )
-        _r, jtj, jtr, deg_j = system.normal_equations(s.x, pars)
-        a = jtj + s.lam * eye
-        d, fail = spd_solve(a, -jtr)
+        if debug_fn is not None:
+            debug_fn(s)
+        d, fail, deg_j = step_fn(s)
         step_inf = jnp.max(jnp.abs(d))
 
         x_new = s.x + d
-        r_new, deg_r = system.residual_and_flags(x_new, pars)
+        r_new, deg_r = eval_fn(x_new)
         r2_new = jnp.sum(r_new * r_new)
         accept = jnp.logical_and(~fail, r2_new < s.r2)
 
@@ -156,13 +147,17 @@ def solve_lm(
         )
 
     final = jax.lax.while_loop(cond, body, state)
-    # Residual convergence reports iterations = steps taken so far
-    # (newton.rs:50-60); step convergence pinned its index inside the loop.
-    # An exhausted budget reports max_iterations with converged = False even
-    # when the LAST step landed inside tolerance: the reference never
-    # re-checks after its final iteration (newton.rs:47-60,141-144).
-    res_conv = (jnp.max(jnp.abs(final.r)) <= rtol) & (final.it < max_iterations)
-    converged = final.converged | res_conv
+    res_conv = jnp.max(jnp.abs(final.r)) <= rtol
+    if boundary_parity:
+        res_conv = res_conv & (final.it < limit)
+    return final, res_conv
+
+
+def _reference_result(final: LMState, res_conv, max_iterations: int) -> LMResult:
+    """Reference-exact outcome assembly: residual convergence reports
+    iterations = steps taken so far (newton.rs:50-60); step convergence
+    pinned its index inside the loop; an exhausted budget reports
+    max_iterations with converged = False."""
     iterations = jnp.where(
         final.done,
         final.iterations,
@@ -171,10 +166,54 @@ def solve_lm(
     return LMResult(
         x=final.x,
         iterations=iterations,
-        converged=converged,
+        converged=final.converged | res_conv,
         deg=final.deg,
         residual=final.r,
     )
+
+
+def solve_lm(
+    system: CompiledSystem,
+    x0: jnp.ndarray,
+    max_iterations: int,
+    residual_tolerance,
+    step_tolerance,
+    initial_lambda,
+    pars=None,
+    debug_jac: bool = False,
+) -> LMResult:
+    """Run the LM loop on one system. Pure and jit/vmap-compatible.
+
+    ``pars`` optionally overrides the per-block parameter arrays (dynamic
+    parameters for the fleet-batching path). ``debug_jac`` (static) prints
+    the dense weighted Jacobian every iteration — the analog of the
+    reference's ``dbg-jac`` compile-time feature (``solver.rs:370-439``,
+    ``ezpz/Cargo.toml:16``); enable via ``EZPZ_TPU_DBG_JAC=1`` on the
+    public API."""
+    dtype = system.dtype
+    eye = jnp.eye(system.n_vars, dtype=dtype)
+    rtol = jnp.asarray(residual_tolerance, dtype)
+    stol = jnp.asarray(step_tolerance, dtype)
+    state = _init_state(system, x0, initial_lambda, pars=pars)
+
+    def step(s: LMState):
+        _r, jtj, jtr, deg_j = system.normal_equations(s.x, pars)
+        d, fail = spd_solve(jtj + s.lam * eye, -jtr)
+        return d, fail, deg_j
+
+    debug_fn = None
+    if debug_jac:
+        def debug_fn(s):
+            jax.debug.print(
+                "dbg-jac: iteration {it}, dense Jacobian =\n{j}",
+                it=s.it, j=system.jacobian_dense(s.x, pars),
+            )
+
+    final, res_conv = _lm_while_loop(
+        state, lambda x: system.residual_and_flags(x, pars), step,
+        max_iterations, rtol, stol, boundary_parity=True, debug_fn=debug_fn,
+    )
+    return _reference_result(final, res_conv, max_iterations)
 
 
 def solve_gauss_newton(
@@ -297,29 +336,9 @@ def solve_lm_cg(
     dtype = system.dtype
     rtol = jnp.asarray(residual_tolerance, dtype)
     stol = jnp.asarray(step_tolerance, dtype)
+    state = _init_state(system, x0, initial_lambda, pars=pars)
 
-    r0, deg0 = system.residual_and_flags(x0.astype(dtype), pars)
-    state = LMState(
-        x=x0.astype(dtype),
-        r=r0,
-        r2=jnp.sum(r0 * r0),
-        lam=jnp.asarray(initial_lambda, dtype),
-        it=jnp.asarray(0, jnp.int32),
-        done=jnp.asarray(False),
-        converged=jnp.asarray(False),
-        iterations=jnp.asarray(0, jnp.int32),
-        deg=deg0,
-    )
-
-    # Residual check in ``cond`` + per-lane freezing (see solve_lm).
-    def cond(s: LMState):
-        return (~s.done) & (s.it < max_iterations) & (jnp.max(jnp.abs(s.r)) > rtol)
-
-    def body(s: LMState) -> LMState:
-        res_now = (jnp.max(jnp.abs(s.r)) <= rtol) & ~s.done & (
-            s.it < max_iterations)
-        act = ~s.done & ~res_now
-
+    def step(s: LMState):
         _r, jtr, wjacs, deg_j = system.jacobian_factors(s.x, pars)
         lam = s.lam
 
@@ -327,53 +346,15 @@ def solve_lm_cg(
             return system.jtj_matvec(wjacs, v) + lam * v
 
         d = _cg(matvec, -jtr, jnp.zeros_like(s.x), cg_tol, cg_max_iters)
-        step_inf = jnp.max(jnp.abs(d))
+        # lambda > 0 keeps the operator SPD: CG has no factorization-failure
+        # path.
+        return d, jnp.asarray(False), deg_j
 
-        x_new = s.x + d
-        r_new, deg_r = system.residual_and_flags(x_new, pars)
-        r2_new = jnp.sum(r_new * r_new)
-        accept = r2_new < s.r2
-
-        take = act & accept
-        x = jnp.where(take, x_new, s.x)
-        r = jnp.where(take, r_new, s.r)
-        r2 = jnp.where(take, r2_new, s.r2)
-        lam_next = jnp.where(
-            act,
-            jnp.where(accept, s.lam * LM_LAMBDA_DECR, s.lam * LM_LAMBDA_INCR),
-            s.lam,
-        )
-        deg = s.deg | jnp.where(act, deg_j | deg_r, jnp.zeros_like(deg_j))
-        step_conv = act & (step_inf <= stol)
-        done = s.done | res_now | step_conv
-        iterations = jnp.where(res_now | step_conv, s.it, s.iterations)
-        return LMState(
-            x=x,
-            r=r,
-            r2=r2,
-            lam=lam_next,
-            it=jnp.where(act, s.it + 1, s.it),
-            done=done,
-            converged=s.converged | res_now | step_conv,
-            iterations=iterations,
-            deg=deg,
-        )
-
-    final = jax.lax.while_loop(cond, body, state)
-    # Same budget-boundary semantics as solve_lm (see comment there).
-    res_conv = (jnp.max(jnp.abs(final.r)) <= rtol) & (final.it < max_iterations)
-    iterations = jnp.where(
-        final.done,
-        final.iterations,
-        jnp.where(res_conv, final.it, jnp.asarray(max_iterations, jnp.int32)),
+    final, res_conv = _lm_while_loop(
+        state, lambda x: system.residual_and_flags(x, pars), step,
+        max_iterations, rtol, stol, boundary_parity=True,
     )
-    return LMResult(
-        x=final.x,
-        iterations=iterations,
-        converged=final.converged | res_conv,
-        deg=final.deg,
-        residual=final.r,
-    )
+    return _reference_result(final, res_conv, max_iterations)
 
 
 def solve_lm_mixed(
@@ -467,65 +448,22 @@ def solve_lm_refine(
         refine_iterations,
     )
 
-    x1 = x_coarse.astype(f64)
-    r0, deg0 = system64.residual_and_flags(x1, pars64)
-    state = LMState(
-        x=x1,
-        r=r0,
-        r2=jnp.sum(r0 * r0),
-        lam=jnp.asarray(initial_lambda, system32.dtype),
-        it=jnp.asarray(0, jnp.int32),
-        done=jnp.asarray(False),
-        converged=jnp.asarray(False),
-        iterations=jnp.asarray(0, jnp.int32),
-        deg=coarse_deg | deg0,
-    )
+    state = _init_state(system64, x_coarse, initial_lambda,
+                        lam_dtype=system32.dtype, pars=pars64,
+                        deg_extra=coarse_deg)
 
-    # Residual check in ``cond`` AND per-lane freezing in the body — same
-    # dual structure as solve_lm (see the comment there): the cond saves the
-    # detection pass for unbatched solves, the ``act`` predication freezes
-    # converged lanes under vmap.
-    def cond(s: LMState):
-        return (~s.done) & (s.it < refine_limit) & (jnp.max(jnp.abs(s.r)) > rtol)
-
-    def body(s: LMState) -> LMState:
-        res_now = (jnp.max(jnp.abs(s.r)) <= rtol) & ~s.done
-        act = ~s.done & ~res_now
-
+    def step(s: LMState):
         jtj, jtr, deg_j = system32.refine_normal_equations(s.x, s.r, pars32)
-        a = jtj + s.lam * eye32
-        d32, fail = spd_solve(a, -jtr)
-        d = d32.astype(f64)
-        step_inf = jnp.max(jnp.abs(d))
+        d32, fail = spd_solve(jtj + s.lam * eye32, -jtr)
+        return d32.astype(f64), fail, deg_j
 
-        x_new = s.x + d
-        r_new, deg_r = system64.residual_and_flags(x_new, pars64)
-        r2_new = jnp.sum(r_new * r_new)
-        accept = jnp.logical_and(~fail, r2_new < s.r2)
-
-        take = act & accept
-        x = jnp.where(take, x_new, s.x)
-        r = jnp.where(take, r_new, s.r)
-        r2 = jnp.where(take, r2_new, s.r2)
-        lam = jnp.where(
-            act,
-            jnp.where(accept, s.lam * LM_LAMBDA_DECR, s.lam * LM_LAMBDA_INCR),
-            s.lam,
-        )
-        deg = s.deg | jnp.where(act, deg_j | deg_r, jnp.zeros_like(deg_j))
-        step_conv = act & (~fail) & (step_inf <= stol)
-        done = s.done | res_now | step_conv
-        iterations = jnp.where(res_now | step_conv, s.it, s.iterations)
-        return LMState(
-            x=x, r=r, r2=r2, lam=lam,
-            it=jnp.where(act, s.it + 1, s.it), done=done,
-            converged=s.converged | res_now | step_conv,
-            iterations=iterations, deg=deg,
-        )
-
-    final = jax.lax.while_loop(cond, body, state)
-    res_conv = jnp.max(jnp.abs(final.r)) <= rtol
-    refined_ok = final.done | res_conv
+    # boundary_parity=False: the refine's ``converged`` is a pure
+    # verification statement (f64 residual within tolerance), independent of
+    # where in the budget that happened.
+    final, res_conv = _lm_while_loop(
+        state, lambda x: system64.residual_and_flags(x, pars64), step,
+        refine_limit, rtol, stol, boundary_parity=False,
+    )
     refine_count = jnp.where(
         final.done,
         final.iterations,
@@ -534,7 +472,7 @@ def solve_lm_refine(
     return LMResult(
         x=final.x,
         iterations=coarse_iterations + refine_count,
-        converged=refined_ok,
+        converged=final.done | res_conv,
         deg=final.deg,
         residual=final.r,
     )
