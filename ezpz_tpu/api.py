@@ -38,6 +38,9 @@ from .utils.warnings import Warning, WarningKind, lint
 
 # Cache of jitted solvers keyed by compiled topology, so repeated solves of
 # the same sketch (priority tiers, CLI timing loops, tests) compile once.
+# LRU: dicts iterate in insertion order, so evicting the first key drops the
+# least-recently-used entry (hits re-insert) instead of recompiling the
+# whole working set on overflow.
 _SOLVER_CACHE: Dict[tuple, tuple] = {}
 _SOLVER_CACHE_LIMIT = 256
 
@@ -77,12 +80,13 @@ def _get_solver(system: CompiledSystem, constraints, weights, max_iterations: in
         str(system.dtype),
         os.environ.get("EZPZ_TPU_DBG_JAC", ""),  # dbg-jac recompiles
     )
-    hit = _SOLVER_CACHE.get(key)
+    hit = _SOLVER_CACHE.pop(key, None)
     if hit is not None:
+        _SOLVER_CACHE[key] = hit  # re-insert: now most-recently-used
         return hit[1]
     solver = make_solver(system, max_iterations)
-    if len(_SOLVER_CACHE) >= _SOLVER_CACHE_LIMIT:
-        _SOLVER_CACHE.clear()
+    while len(_SOLVER_CACHE) >= _SOLVER_CACHE_LIMIT:
+        _SOLVER_CACHE.pop(next(iter(_SOLVER_CACHE)))  # evict oldest only
     _SOLVER_CACHE[key] = (system, solver)
     return solver
 

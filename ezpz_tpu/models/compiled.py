@@ -95,25 +95,40 @@ class CompiledSystem:
         return r, deg_acc
 
     def normal_equations(
-        self, x: jnp.ndarray, pars=None
+        self, x: jnp.ndarray, pars=None, rhs: Optional[jnp.ndarray] = None
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Evaluate r(x), JtJ, Jtr, and per-constraint degenerate flags.
 
         JtJ and Jtr are assembled scatter-add style from per-instance outer
         products — the segment-sum equivalent of the reference's sparse
         J^T * J product (``newton.rs:73-84``) without any sparse bookkeeping.
+
+        ``rhs`` optionally substitutes an already-evaluated weighted residual
+        (possibly in a wider dtype — it is cast to this system's dtype) for
+        the right-hand side: ``jtr = J^T cast(rhs)``. This is the
+        mixed-precision iterative-refinement path (see
+        ``refine_normal_equations``); ``x`` is likewise cast, so the call is
+        valid on an f32 twin with f64 inputs.
         """
+        x = x.astype(self.dtype)
         n = self.n_vars
         jtj = jnp.zeros((n, n), self.dtype)
         jtr = jnp.zeros((n,), self.dtype)
         parts = []
         deg_acc = jnp.zeros((self.n_constraints,), jnp.bool_)
+        slices = self.block_row_slices() if rhs is not None else None
         for i, b in enumerate(self.blocks):
             v = x[b.idx]  # (nb, nv)
             jac, (res, deg) = jax.vmap(
                 lambda vv, pp, fn=b.spec.fn: _jac_with_value(fn, vv, pp)
             )(v, self._pars(pars, i))
-            wres = res * b.weight[:, None]  # (nb, dim)
+            if rhs is None:
+                wres = res * b.weight[:, None]  # (nb, dim)
+            else:
+                lo, hi = slices[i]
+                wres = rhs[lo:hi].astype(self.dtype).reshape(
+                    jac.shape[0], b.spec.dim
+                )
             wjac = jac * b.weight[:, None, None]  # (nb, dim, nv)
             contrib = jnp.einsum("ndk,ndl->nkl", wjac, wjac)
             jtj = jtj.at[b.idx[:, :, None], b.idx[:, None, :]].add(contrib)
@@ -224,25 +239,7 @@ class CompiledSystem:
 
         Returns (jtj, jtr, deg) in this system's dtype.
         """
-        x = x64.astype(self.dtype)
-        n = self.n_vars
-        jtj = jnp.zeros((n, n), self.dtype)
-        jtr = jnp.zeros((n,), self.dtype)
-        deg_acc = jnp.zeros((self.n_constraints,), jnp.bool_)
-        slices = self.block_row_slices()
-        for i, b in enumerate(self.blocks):
-            jac, (_res, deg) = jax.vmap(
-                lambda vv, pp, fn=b.spec.fn: _jac_with_value(fn, vv, pp)
-            )(x[b.idx], self._pars(pars, i))
-            wjac = jac * b.weight[:, None, None]  # (nb, dim, nv)
-            lo, hi = slices[i]
-            wres = r64[lo:hi].astype(self.dtype).reshape(jac.shape[0], b.spec.dim)
-            jtj = jtj.at[b.idx[:, :, None], b.idx[:, None, :]].add(
-                jnp.einsum("ndk,ndl->nkl", wjac, wjac)
-            )
-            jtr = jtr.at[b.idx].add(jnp.einsum("ndk,nd->nk", wjac, wres))
-            if b.spec.can_degenerate:  # constant-False flags skip the scatter
-                deg_acc = deg_acc.at[b.cid].max(deg)
+        _r, jtj, jtr, deg_acc = self.normal_equations(x64, pars, rhs=r64)
         return jtj, jtr, deg_acc
 
     def jacobian_factors(self, x: jnp.ndarray, pars=None):

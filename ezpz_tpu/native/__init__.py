@@ -39,9 +39,14 @@ def build(name: str = "fastparse", verbose: bool = False) -> Optional[str]:
     if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
         return so
     include = sysconfig.get_paths()["include"]
+    # Compile to a per-process temporary and os.replace() it into place:
+    # the threading._lock only serializes threads in THIS process, and two
+    # processes (several pytest/serve workers on a fresh checkout) racing
+    # g++ onto the same path could dlopen a half-written .so.
+    tmp = f"{so}.tmp.{os.getpid()}"
     cmd = [
         "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
-        f"-I{include}", src, "-o", so,
+        f"-I{include}", src, "-o", tmp,
     ]
     try:
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
@@ -50,7 +55,12 @@ def build(name: str = "fastparse", verbose: bool = False) -> Optional[str]:
     if res.returncode != 0:
         if verbose:
             sys.stderr.write(res.stderr)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
+    os.replace(tmp, so)  # atomic on POSIX: the .so appears fully written
     return so
 
 

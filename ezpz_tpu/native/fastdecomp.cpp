@@ -37,10 +37,30 @@ struct Buf {
 };
 
 bool get_i32_buffer(PyObject* obj, Buf* out, const char* name) {
-  if (PyObject_GetBuffer(obj, &out->view, PyBUF_CONTIG_RO) != 0) {
+  if (PyObject_GetBuffer(obj, &out->view, PyBUF_CONTIG_RO | PyBUF_FORMAT) != 0) {
     return false;
   }
   out->ok = true;
+  // Reject anything that is not a 32-bit integer buffer outright: an int64
+  // or float32 array silently misread as int32 would corrupt the
+  // decomposition instead of failing loudly.
+  if (out->view.itemsize != static_cast<Py_ssize_t>(sizeof(int32_t))) {
+    PyErr_Format(PyExc_TypeError, "%s: expected int32 buffer (itemsize 4), got itemsize %zd",
+                 name, out->view.itemsize);
+    return false;
+  }
+  const char* fmt = out->view.format;
+  // Accept the struct-module codes that denote a 32-bit integer ('i'/'I'
+  // always; 'l'/'L' only where long is 4 bytes, which the itemsize check
+  // above already enforced). A null format means "unsigned bytes" per the
+  // buffer protocol, but itemsize 4 with no format is ambiguous — reject.
+  if (fmt == nullptr ||
+      !(fmt[0] == 'i' || fmt[0] == 'I' || fmt[0] == 'l' || fmt[0] == 'L') ||
+      fmt[1] != '\0') {
+    PyErr_Format(PyExc_TypeError, "%s: expected int32 buffer, got format '%s'",
+                 name, fmt ? fmt : "<none>");
+    return false;
+  }
   if (out->view.len % sizeof(int32_t) != 0) {
     PyErr_Format(PyExc_ValueError, "%s: buffer length not a multiple of 4", name);
     return false;

@@ -26,6 +26,7 @@ round-robin across devices for load balance.
 
 from __future__ import annotations
 
+import os
 from collections import defaultdict
 from dataclasses import dataclass
 from functools import partial
@@ -411,10 +412,15 @@ class ShardedSchurSolver:
             final = jax.lax.while_loop(cond, body, state)
             res_conv = final["rinf"] <= rtol
             converged = final["converged"] | res_conv
+            # On budget exhaustion report the limit actually in force this
+            # segment (``it_limit``), not the closure constant: a segmented
+            # (checkpoint/resume) run would otherwise report
+            # ``max_iterations`` after every 5-iteration slice.
             iterations = jnp.where(
                 final["done"],
                 final["iterations"],
-                jnp.where(res_conv, final["it"], jnp.asarray(max_iterations, jnp.int32)),
+                jnp.where(res_conv, final["it"],
+                          jnp.asarray(it_limit, jnp.int32)),
             )
             # Final satisfaction check (unweighted residuals, EPSILON).
             _r2f, _rf, _degf, worst_f = global_r2_rinf(final["x_i"], final["x_b"])
@@ -571,6 +577,15 @@ class ShardedSchurSolver:
             save_state(checkpoint_path, fp, x_i, x_b, lam, it, deg)
             if bool(finished) or it >= c.max_iterations:
                 break
+
+        # The solve is complete: remove the checkpoint so a re-invocation of
+        # the same solve starts fresh (and reports the same iterations)
+        # instead of "resuming" from the finished state. Stale files from a
+        # DIFFERENT solve are already rejected by the fingerprint.
+        try:
+            os.remove(checkpoint_path)
+        except OSError:
+            pass
 
         x_out = self._gather_x(x0, x_i, x_b)
         return self._outcome(x_out, iterations, converged, deg_out, sat)

@@ -31,6 +31,10 @@ def hello() -> str:
 @dataclass
 class SolveRequest:
     problem_text: str
+    # Per-request precision override ("f64" / "mixed"); None = service
+    # default. Large-coordinate sketches that need reference-exact iteration
+    # counts can force "f64" even when the service default is mixed.
+    precision: Optional[str] = None
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[dict] = None
     error: Optional[str] = None
@@ -70,8 +74,11 @@ class SolverService:
 
     # -- public API ---------------------------------------------------------
 
-    def solve_text(self, problem_text: str, timeout: float = 120.0) -> dict:
-        req = SolveRequest(problem_text=problem_text)
+    def solve_text(self, problem_text: str, timeout: float = 120.0,
+                   precision: Optional[str] = None) -> dict:
+        if precision is not None and precision not in ("f64", "mixed"):
+            raise ValueError(f"precision must be 'f64' or 'mixed', got {precision!r}")
+        req = SolveRequest(problem_text=problem_text, precision=precision)
         self._queue.put(req)
         if not req.done.wait(timeout):
             raise TimeoutError("solve timed out")
@@ -125,7 +132,11 @@ class SolverService:
                 for vid, val in cs.initial_guesses:
                     dense[vid] = val
                 constraints = [c.set_from_initial_values(dense) for c in constraints]
-                key = _structure_key(constraints, len(cs.initial_guesses))
+                # Precision is part of the group key: a batch solves on ONE
+                # path, so f64-override requests must not mix into a mixed
+                # batch (and vice versa).
+                prec = req.precision or self.precision
+                key = (_structure_key(constraints, len(cs.initial_guesses)), prec)
                 groups.setdefault(key, []).append((req, (cs, constraints)))
             except Exception as e:  # parse/build errors answer immediately
                 req.error = str(e)
@@ -149,13 +160,14 @@ class SolverService:
         self.stats["batched_requests"] += len(items)
 
         cs0, constraints0 = items[0][1]
+        precision = key[1]
         n_vars = len(cs0.initial_guesses)
         solver = self._solvers.get(key)
         if solver is None:
             system = compile_system(constraints0, n_vars)
             solver = (
                 BatchSolver(system, self.config, batch_params=True,
-                            precision=self.precision),
+                            precision=precision),
                 system,
             )
             self._solvers[key] = solver
@@ -190,7 +202,10 @@ class SolverService:
         conv = np.asarray(res.converged)
         sat = np.asarray(res.satisfied)
         for i, (req, (cs, _)) in enumerate(items):
-            req.result = _format_outcome(cs, xs[i], int(iters[i]), bool(conv[i]), sat[i])
+            req.result = _format_outcome(
+                cs, xs[i], int(iters[i]), bool(conv[i]), sat[i],
+                precision=precision,
+            )
             req.done.set()
 
 
@@ -203,7 +218,8 @@ def _structure_key(constraints, n_vars: int) -> tuple:
     return (n_vars, tuple(items))
 
 
-def _format_outcome(cs, x: np.ndarray, iterations: int, converged: bool, sat) -> dict:
+def _format_outcome(cs, x: np.ndarray, iterations: int, converged: bool, sat,
+                    precision: str = "f64") -> dict:
     from .textual.executor import VARS_PER_ARC, VARS_PER_CIRCLE, VARS_PER_POINT
 
     points = {}
@@ -230,6 +246,12 @@ def _format_outcome(cs, x: np.ndarray, iterations: int, converged: bool, sat) ->
     return {
         "converged": converged,
         "iterations": iterations,
+        # Which solve path produced this answer. Mixed-precision iteration
+        # counts (coarse f32 + f64 refine steps) are NOT comparable to the
+        # reference's pure-f64 LM counts; ``iterations_comparable`` says so
+        # explicitly so clients can't mistake one for the other.
+        "precision": precision,
+        "iterations_comparable": precision == "f64",
         "unsatisfied": unsat,
         "points": points,
         "circles": circles,
@@ -291,8 +313,13 @@ def run_server(host: str = "127.0.0.1", port: int = 8787) -> None:
                 return
             length = int(self.headers.get("Content-Length", "0"))
             text = self.rfile.read(length).decode()
+            # Per-request path selection: "X-Precision: f64" forces the
+            # reference-exact pure-f64 path (comparable iteration counts,
+            # robust for large-coordinate sketches); "mixed" forces the
+            # high-throughput path. Absent = service default.
+            precision = self.headers.get("X-Precision") or None
             try:
-                result = service.solve_text(text)
+                result = service.solve_text(text, precision=precision)
                 body = json.dumps(result).encode()
                 code = 200
             except Exception as e:

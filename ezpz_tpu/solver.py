@@ -235,24 +235,24 @@ def solve_gauss_newton(
     rtol = jnp.asarray(residual_tolerance, dtype)
     stol = jnp.asarray(step_tolerance, dtype)
 
-    r0, deg0 = system.residual_and_flags(x0.astype(dtype), pars)
-    state = LMState(
+    # Unlike LM, GN has no accept/reject, so the residual never needs to be
+    # carried across iterations: the body's ``normal_equations`` evaluates a
+    # fresh r at the current x, and the final residual (+ flags at the final
+    # point) is evaluated once after the loop.
+    state = dict(
         x=x0.astype(dtype),
-        r=r0,
-        r2=jnp.sum(r0 * r0),
-        lam=lam,
         it=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
         converged=jnp.asarray(False),
         iterations=jnp.asarray(0, jnp.int32),
-        deg=deg0,
+        deg=jnp.zeros((system.n_constraints,), jnp.bool_),
     )
 
-    def cond(s: LMState):
-        return jnp.logical_and(~s.done, s.it < max_iterations)
+    def cond(s):
+        return jnp.logical_and(~s["done"], s["it"] < max_iterations)
 
-    def body(s: LMState) -> LMState:
-        r, jtj, jtr, deg_j = system.normal_equations(s.x, pars)
+    def body(s):
+        r, jtj, jtr, deg_j = system.normal_equations(s["x"], pars)
         res_conv = jnp.max(jnp.abs(r)) <= rtol
         act = ~res_conv
 
@@ -263,30 +263,30 @@ def solve_gauss_newton(
         # A factorization failure must not step (d is zero-filled) and must
         # NOT count as step-size convergence — without this guard a non-SPD
         # system would silently report converged=True at the unsolved point.
-        x = jnp.where(act & ~fail, s.x + d, s.x)
-        deg = s.deg | jnp.where(act, deg_j, jnp.zeros_like(deg_j))
+        x = jnp.where(act & ~fail, s["x"] + d, s["x"])
+        deg = s["deg"] | jnp.where(act, deg_j, jnp.zeros_like(deg_j))
         step_conv = act & (~fail) & (step_inf <= stol)
         done = res_conv | step_conv
-        return LMState(
+        return dict(
             x=x,
-            r=s.r,
-            r2=s.r2,
-            lam=lam,
-            it=jnp.where(res_conv, s.it, s.it + 1),
+            it=jnp.where(res_conv, s["it"], s["it"] + 1),
             done=done,
-            converged=s.converged | done,
-            iterations=jnp.where(done, s.it, s.iterations),
+            converged=s["converged"] | done,
+            iterations=jnp.where(done, s["it"], s["iterations"]),
             deg=deg,
         )
 
     final = jax.lax.while_loop(cond, body, state)
-    iterations = jnp.where(final.done, final.iterations, jnp.asarray(max_iterations, jnp.int32))
-    r_final = system.residual(final.x, pars)
+    iterations = jnp.where(
+        final["done"], final["iterations"],
+        jnp.asarray(max_iterations, jnp.int32),
+    )
+    r_final, deg_f = system.residual_and_flags(final["x"], pars)
     return LMResult(
-        x=final.x,
+        x=final["x"],
         iterations=iterations,
-        converged=final.converged,
-        deg=final.deg,
+        converged=final["converged"],
+        deg=final["deg"] | deg_f,
         residual=r_final,
     )
 
@@ -392,18 +392,28 @@ def solve_lm_mixed(
     f64 path when those matter). Intended for the high-throughput fleet and
     benchmark paths.
     """
-    # Phase 1 is capped at ``coarse_max_iterations``: with large coordinates
-    # an *absolute* 5e-6 inf-norm is below f32 round-off, and the reject
-    # cascade that eventually step-converges is wasted f32 work — the f64
-    # refinement below has full LM semantics and finishes from any
-    # reasonable coarse point. The step floor (1e-7) matches where f32
-    # steps stagnate for O(1) coordinates.
+    # Phase 1 is capped at ``coarse_max_iterations``: the reject cascade
+    # that eventually step-converges below f32 round-off is wasted f32
+    # work — the f64 refinement below has full LM semantics and finishes
+    # from any reasonable coarse point.
+    #
+    # Residuals are homogeneous degree 1 in length (SURVEY.md section 2
+    # invariants), so f32 round-off on them scales with the coordinate
+    # magnitude: the coarse tolerance (5e-6, just above f32 round-off for
+    # O(1) coordinates) and the step floor (1e-7, where f32 steps stagnate
+    # for O(1) coordinates) both scale by max(1, |x0|_inf). Without this, a
+    # sketch with coordinates ~1e4 burns the whole f32 budget chasing an
+    # unreachable absolute 5e-6 and leans entirely on the refine phase.
+    scale = jnp.maximum(
+        jnp.asarray(1.0, system32.dtype),
+        jnp.max(jnp.abs(x0)).astype(system32.dtype),
+    )
     coarse = solve_lm(
         system32,
         x0.astype(system32.dtype),
         min(max_iterations, coarse_max_iterations),
-        coarse_tolerance,
-        jnp.maximum(jnp.asarray(step_tolerance, system32.dtype), 1e-7),
+        jnp.asarray(coarse_tolerance, system32.dtype) * scale,
+        jnp.maximum(jnp.asarray(step_tolerance, system32.dtype), 1e-7 * scale),
         initial_lambda,
         pars=pars32,
     )

@@ -35,7 +35,12 @@ def test_checkpointed_matches_plain(tmp_path):
     assert out["converged"]
     assert out["satisfied"].all()
     np.testing.assert_allclose(out["x"], plain["x"], atol=1e-9)
-    assert os.path.exists(ck)
+    # A finished solve removes its checkpoint: re-invoking the same solve
+    # starts fresh instead of "resuming" from the completed state.
+    assert not os.path.exists(ck)
+    again = solver.solve_checkpointed(x0, ck, checkpoint_every=1)
+    assert again["iterations"] == out["iterations"]
+    np.testing.assert_allclose(again["x"], out["x"], atol=0)
 
 
 def test_resume_from_partial_checkpoint(tmp_path):
@@ -52,6 +57,10 @@ def test_resume_from_partial_checkpoint(tmp_path):
         x_i0, x_b0, Config().initial_lambda, 0, deg0, 1
     )
     assert int(it) == 1 and not bool(finished)
+    # An exhausted SEGMENT reports its own limit, not the closure's
+    # max_iterations — the intermediate count must not read as a full
+    # 35-iteration budget blowout.
+    assert int(_its) == 1
     save_state(ck, fp, np.asarray(x_i), np.asarray(x_b), float(lam), int(it),
                np.asarray(deg))
 

@@ -34,6 +34,24 @@ def test_native_matches_python_partition():
         assert cr_n == cr_p, trial
 
 
+def test_native_rejects_wrong_dtype_buffers():
+    """int64 / float32 arrays must raise TypeError, never be silently
+    reinterpreted as int32."""
+    mod = load_fastdecomp()
+    if mod is None:
+        pytest.skip("no C++ toolchain")
+    offsets = np.array([0, 1], np.int32)
+    ids = np.array([0], np.int32)
+    with pytest.raises(TypeError):
+        mod.components(4, offsets.astype(np.int64), ids)
+    with pytest.raises(TypeError):
+        mod.components(4, offsets, ids.astype(np.int64))
+    with pytest.raises(TypeError):
+        mod.components(4, offsets, ids.astype(np.float32))
+    with pytest.raises(TypeError):
+        mod.components(4, offsets, ids.tobytes())  # raw bytes: format 'B'
+
+
 def test_native_rejects_bad_ids():
     mod = load_fastdecomp()
     if mod is None:

@@ -29,6 +29,10 @@ def test_service_single_solve():
         assert out["converged"]
         assert abs(out["points"]["q"][0]) < 1e-4
         assert abs(out["points"]["q"][1]) < 1e-4
+        # The response declares which solve path ran (CPU default: f64,
+        # whose iteration counts are reference-comparable).
+        assert out["precision"] in ("f64", "mixed")
+        assert out["iterations_comparable"] == (out["precision"] == "f64")
     finally:
         svc.shutdown()
 
@@ -69,6 +73,26 @@ def test_service_mixed_precision():
         assert out["converged"]
         assert not out["unsatisfied"]
         assert "points" in out
+        # Mixed-path responses are labeled: their iteration counts are NOT
+        # comparable to reference-pinned pure-f64 counts.
+        assert out["precision"] == "mixed"
+        assert out["iterations_comparable"] is False
+    finally:
+        svc.shutdown()
+
+
+def test_service_per_request_precision_override():
+    """A request can force the pure-f64 path on a mixed-default service
+    (e.g. large-coordinate sketches, or reference-comparable iteration
+    counts)."""
+    svc = serve.SolverService(batch_window_ms=1.0, precision="mixed")
+    try:
+        out = svc.solve_text(_txt("tiny"), precision="f64")
+        assert out["converged"]
+        assert out["precision"] == "f64"
+        assert out["iterations_comparable"] is True
+        with pytest.raises(ValueError):
+            svc.solve_text(_txt("tiny"), precision="f128")
     finally:
         svc.shutdown()
 
