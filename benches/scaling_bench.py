@@ -39,7 +39,7 @@ def _chain_system(n_points: int):
     return horizontal_chain(n_points, x_spacing=1.1, x_offset=0.05, y_offset=0.07)
 
 
-def bench_fleet(D: int, per_device: int, reps: int):
+def bench_fleet(devices, per_device: int, reps: int):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -62,7 +62,7 @@ def bench_fleet(D: int, per_device: int, reps: int):
     system = compile_system(cs, n_vars=4)
 
     results = {}
-    for d in sorted({1, D}):
+    for d in sorted(set(devices)):
         mesh = Mesh(np.array(jax.devices()[:d]), ("batch",))
         fleet = FleetSolver(system, mesh=mesh, config=Config())
         B = per_device * d
@@ -78,7 +78,7 @@ def bench_fleet(D: int, per_device: int, reps: int):
     return results
 
 
-def bench_schur(D: int, points_per_device: int, reps: int):
+def bench_schur(devices, points_per_device: int, reps: int):
     import jax
     import numpy as np
     from jax.sharding import Mesh
@@ -87,7 +87,7 @@ def bench_schur(D: int, points_per_device: int, reps: int):
     from ezpz_tpu.parallel import ShardedSchurSolver
 
     results = {}
-    for d in sorted({1, D}):
+    for d in sorted(set(devices)):
         constraints, x0 = _chain_system(points_per_device * d)
         mesh = Mesh(np.array(jax.devices()[:d]), ("d",))
         solver = ShardedSchurSolver(constraints, len(x0), mesh=mesh, config=Config())
@@ -107,6 +107,11 @@ def bench_schur(D: int, points_per_device: int, reps: int):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--devices", type=int, default=None)
+    ap.add_argument(
+        "--sweep", type=str, default=None,
+        help="comma list of device counts, e.g. 1,2,4,8 — benchmarks the "
+             "whole weak-scaling curve instead of just {1, --devices}",
+    )
     ap.add_argument("--fleet-per-device", type=int, default=4096)
     ap.add_argument("--schur-points-per-device", type=int, default=64)
     ap.add_argument("--reps", type=int, default=5)
@@ -121,26 +126,52 @@ def main(argv=None) -> int:
 
     import ezpz_tpu  # noqa: F401  (x64 on)
 
-    D = args.devices or len(jax.devices())
+    if args.sweep:
+        devices = sorted({int(s) for s in args.sweep.split(",")} | {1})
+    else:
+        devices = sorted({1, args.devices or len(jax.devices())})
+    D = max(devices)
     if len(jax.devices()) < D:
         print(f"error: need {D} devices, have {len(jax.devices())} "
               "(set XLA_FLAGS=--xla_force_host_platform_device_count)",
               file=sys.stderr)
         return 1
 
-    fleet = bench_fleet(D, args.fleet_per_device, args.reps)
-    schur = bench_schur(D, args.schur_points_per_device, args.reps)
+    fleet = bench_fleet(devices, args.fleet_per_device, args.reps)
+    schur = bench_schur(devices, args.schur_points_per_device, args.reps)
 
-    # Weak-scaling efficiency: same per-device work, ideal t(D) == t(1).
-    eff_fleet = fleet[1]["sec_per_solve"] / fleet[D]["sec_per_solve"] if D > 1 else 1.0
-    eff_schur = schur[1]["sec_per_solve"] / schur[D]["sec_per_solve"] if D > 1 else 1.0
+    import multiprocessing
+
+    host_cores = multiprocessing.cpu_count()
+
+    def effs(results):
+        t1 = results[1]["sec_per_solve"]
+        out = {}
+        for d, r in results.items():
+            td = r["sec_per_solve"]
+            out[str(d)] = {
+                # Real weak scaling: ideal t(D) == t(1). Only meaningful
+                # when D devices are D pieces of real hardware.
+                "weak_scaling": round(t1 / td, 3),
+                # Faked-mesh (fewer cores than devices) figure of merit:
+                # the D simulated devices time-share the host, so perfect
+                # sharding WITH ZERO overhead gives t(D) == D * t(1) and
+                # serialization == 1.0. Values near 1.0 mean the shard_map
+                # partitioning + collectives add no work beyond the D x
+                # compute; on real chips that compute runs concurrently.
+                "serialization": round(d * t1 / td, 3),
+            }
+        return out
+
     print(json.dumps({
         "metric": "weak_scaling_efficiency",
-        "devices": D,
+        "devices": devices,
+        "host_cores": host_cores,
+        "faked_mesh": host_cores < D,
         "fleet": {str(k): v for k, v in fleet.items()},
         "schur": {str(k): v for k, v in schur.items()},
-        "fleet_efficiency": round(eff_fleet, 3),
-        "schur_efficiency": round(eff_schur, 3),
+        "fleet_efficiency": effs(fleet),
+        "schur_efficiency": effs(schur),
         "backend": jax.default_backend(),
     }))
     return 0

@@ -30,9 +30,27 @@ def test_solver_bench_runs():
 
 
 def test_scaling_bench_runs():
-    proc = _run(["benches/scaling_bench.py", "--devices", "2", "--reps", "1",
+    proc = _run(["benches/scaling_bench.py", "--sweep", "1,2", "--reps", "1",
                  "--fleet-per-device", "64", "--schur-points-per-device", "6"])
     assert proc.returncode == 0, proc.stderr[-2000:]
     rec = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][0])
     assert rec["metric"] == "weak_scaling_efficiency"
-    assert rec["devices"] == 2
+    assert rec["devices"] == [1, 2]
+    assert "2" in rec["fleet_efficiency"] and "2" in rec["schur_efficiency"]
+    # Iteration-count flatness: sharding must not change LM convergence.
+    iters = {d: r["iterations"] for d, r in rec["schur"].items()}
+    assert len(set(iters.values())) == 1, iters
+
+
+def test_scaling_artifact_is_current():
+    """SCALING_r02.json (the committed weak-scaling artifact) must match the
+    bench's output schema, so the recorded curve can't silently bitrot."""
+    path = os.path.join(ROOT, "SCALING_r02.json")
+    rec = json.load(open(path))
+    assert rec["metric"] == "weak_scaling_efficiency"
+    assert rec["devices"] == [1, 2, 4, 8]
+    for key in ("fleet", "schur", "fleet_efficiency", "schur_efficiency",
+                "host_cores", "faked_mesh", "backend"):
+        assert key in rec, key
+    iters = {d: r["iterations"] for d, r in rec["schur"].items()}
+    assert len(set(iters.values())) == 1, iters

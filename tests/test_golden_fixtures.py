@@ -5,11 +5,47 @@ same textual inputs, same expected coordinates (1e-4), same underconstrained
 variable id lists, same satisfaction outcomes.
 """
 
+import json
 import math
+import os
 
 import pytest
 
 from .helpers import run, assert_points_eq, assert_nearly_eq
+
+# Exact LM iteration counts for every fixture on the pure-f64 path,
+# recorded once and committed as data. The reference pins iteration counts
+# as convergence regressions (tests.rs:1126, tests.rs:1600-1606); this
+# extends that discipline to the whole corpus, so any drift in the lambda
+# schedule, accept rule, or convergence checks fails here even when final
+# coordinates still land within 1e-4. Cross-check: massive_parallel_system
+# = 2 iterations, matching the reference's published number (README.md:40).
+_GOLDEN_ITERATIONS = json.load(
+    open(os.path.join(os.path.dirname(__file__), "golden_iterations.json"))
+)
+
+
+@pytest.mark.parametrize("case", sorted(_GOLDEN_ITERATIONS))
+def test_iteration_count_pinned(case):
+    solved = run(case)
+    assert solved.outcome.converged
+    assert solved.outcome.iterations == _GOLDEN_ITERATIONS[case], (
+        f"{case}: LM took {solved.outcome.iterations} iterations, "
+        f"golden value is {_GOLDEN_ITERATIONS[case]} — the lambda schedule "
+        f"or accept rule drifted"
+    )
+
+
+def test_golden_iterations_covers_whole_corpus():
+    """Every fixture directory must have a pinned count (new fixtures must
+    be recorded, not silently skipped)."""
+    from .helpers import CASES_DIR
+
+    dirs = sorted(
+        d for d in os.listdir(CASES_DIR)
+        if os.path.isdir(os.path.join(CASES_DIR, d))
+    )
+    assert dirs == sorted(_GOLDEN_ITERATIONS)
 
 
 def test_coincident():
