@@ -1,15 +1,24 @@
 """SPD solves tuned for TPU.
 
-XLA's batched ``jnp.linalg.cholesky`` lowers to a serialized decomposition
-that is ~100x slower than elementwise code for tiny matrices on TPU (335 ms
-vs 3 ms for 150k 4x4 f64 factorizations on v5e). Constraint-sketch normal
-equations are almost always tiny, so we unroll Cholesky-Crout for small
-static n — pure VPU elementwise ops that fuse into the surrounding LM loop —
-and fall back to the LAPACK-style path only for large systems.
+Three tiers, by system size:
 
-Failure semantics match ``jnp.linalg.cholesky``: a non-SPD matrix yields NaN
-(sqrt of a negative), which the LM loop detects and treats as a rejected
-step (mirroring faer's LltError::Numeric, ``newton.rs:96-99``).
+* n <= 24 — fully unrolled Cholesky-Crout: pure VPU elementwise ops that
+  fuse into the surrounding LM loop. XLA's batched ``jnp.linalg.cholesky``
+  lowers to a serialized decomposition that is ~100x slower for tiny
+  matrices on TPU (335 ms vs 3 ms for 150k 4x4 f64 factorizations on v5e).
+* 24 < n — blocked right-looking Cholesky (``_chol_blocked``): a
+  ``fori_loop`` over 32-wide panels where the diagonal block factors with
+  the unrolled Crout, the panel solve is one (n, nb) x (nb, nb) matmul
+  against an unrolled triangular inverse, and the trailing update is a
+  masked full-width Z Z^T matmul on the MXU. This is the tier the
+  reference serves with faer's sparse LLT (``newton.rs:87-102``,
+  ``solver.rs:270-300``) — the TPU answer is dense blocked MXU work, which
+  beats XLA's own cholesky lowering by avoiding its serialized panel
+  algorithm (and, in f64, most of the emulated-f64 scalar work).
+
+Failure semantics match ``jnp.linalg.cholesky``: a non-SPD matrix yields
+NaN (sqrt of a negative), which the LM loop detects and treats as a
+rejected step (mirroring faer's LltError::Numeric, ``newton.rs:96-99``).
 """
 
 from __future__ import annotations
@@ -17,8 +26,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# Above this size the unrolled program gets big; use XLA's cholesky.
+# Above this size the unrolled program gets big; switch to the blocked tier.
 UNROLL_MAX_N = 24
+# Panel width of the blocked tier. 32 keeps the unrolled diagonal factor
+# (nb^3/6 scalar ops) and triangular inverse tractable for the tracer while
+# giving the MXU a deep enough contraction; the trailing update dominates
+# FLOPs and runs at full width regardless.
+BLOCK_NB = 32
 
 
 def _chol_unrolled(A):
@@ -55,6 +69,144 @@ def _solve_unrolled(L, b):
     return jnp.stack(x, axis=-1)
 
 
+def _chol_small(D: jnp.ndarray) -> jnp.ndarray:
+    """Left-looking Cholesky of one (nb, nb) SPD block: a PYTHON loop over
+    columns (unrolled at trace time — nb vector ops, not nb^3 scalars), each
+    column a masked full-width vector update. Unrolling matters: as a
+    ``fori_loop`` these 2*nb tiny sequential VPU ops per panel dominated the
+    whole blocked factorization (~4k micro-dispatches for n=2048); unrolled,
+    XLA fuses them into a handful of kernels. Column list -> one stack at
+    the end (no per-column full-matrix updates)."""
+    nb = D.shape[-1]
+    idx = jnp.arange(nb)
+    cols = []
+    for j in range(nb):
+        s = D[:, j]
+        for k in range(0, j):
+            s = s - cols[k] * cols[k][j]
+        d = jnp.sqrt(s[j])
+        cols.append(jnp.where(idx == j, d, jnp.where(idx > j, s / d, 0.0)))
+    return jnp.stack(cols, axis=1)
+
+
+def _tri_inv_small(L: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of a lower-triangular (nb, nb) block: forward substitution on
+    all identity columns simultaneously, one (unrolled) row at a time."""
+    nb = L.shape[-1]
+    eye = jnp.eye(nb, dtype=L.dtype)
+    rows = []
+    for i in range(nb):
+        s = eye[i]
+        for k in range(0, i):
+            s = s - L[i, k] * rows[k]
+        rows.append(s / L[i, i])
+    return jnp.stack(rows, axis=0)
+
+
+def _chol_blocked(A: jnp.ndarray, nb: int):
+    """Blocked right-looking Cholesky of SPD ``A`` (n, n) with n a multiple
+    of ``nb``. Returns ``(L, inv_diag)`` where ``L`` is lower triangular and
+    ``inv_diag`` (K, nb, nb) holds the inverses of the diagonal blocks (a
+    factorization byproduct that makes the triangular solves matmul-only).
+
+    Static shapes throughout: each step slices the full-height panel,
+    factors the diagonal block with the unrolled Crout, forms the panel via
+    one (n, nb) x (nb, nb) matmul against the unrolled triangular inverse,
+    and applies the trailing update as a masked full-width Z Z^T — rows
+    already factored are zeroed, so the subtraction only touches the
+    trailing submatrix. The masked update does ~6x the minimal FLOPs but
+    keeps every matmul static-shaped and MXU-resident, which on TPU beats
+    any shrinking-extent formulation.
+    """
+    n = A.shape[-1]
+    K = n // nb
+    rows = jnp.arange(n)[:, None]
+
+    def step(k, carry):
+        M, inv_diag = carry
+        col = jax.lax.dynamic_slice(M, (0, k * nb), (n, nb))
+        diag = jax.lax.dynamic_slice(M, (k * nb, k * nb), (nb, nb))
+        inv_mat = _tri_inv_small(_chol_small(diag))
+        # Panel: Y = col @ inv(L_kk)^T; the diag-block rows of Y come out as
+        # L_kk itself. Rows above the panel hold upper-triangle junk of the
+        # symmetric input — zero them so the stored factor is clean.
+        Y = jnp.where(rows >= k * nb, col @ inv_mat.T, 0)
+        M = jax.lax.dynamic_update_slice(M, Y, (0, k * nb))
+        inv_diag = jax.lax.dynamic_update_slice(
+            inv_diag, inv_mat[None], (k, 0, 0)
+        )
+        # Trailing update: Z zeroes the diag block too, so Z Z^T is nonzero
+        # only where BOTH row and column are >= (k+1)*nb.
+        Z = jnp.where(rows >= (k + 1) * nb, Y, 0)
+        M = M - Z @ Z.T
+        return M, inv_diag
+
+    M, inv_diag = jax.lax.fori_loop(
+        0, K, step, (A, jnp.zeros((K, nb, nb), A.dtype))
+    )
+    return jnp.tril(M), inv_diag
+
+
+def _blocked_tri_solves(L, inv_diag, b, nb: int):
+    """x = L^-T L^-1 b using the blocked factor. ``b`` is (n,) or (n, m)."""
+    n = L.shape[-1]
+    K = n // nb
+    vec = b.ndim == 1
+    y0 = (b[:, None] if vec else b) * 0.0
+    bm = b[:, None] if vec else b
+    m = bm.shape[1]
+
+    def fwd(k, y):
+        # y_k = inv(L_kk) (b_k - L[k-rows, :] y); unsolved slots of y are
+        # zero and the diag-block columns multiply those zeros, so the full
+        # static-width row-block matvec sums exactly the solved prefix.
+        row = jax.lax.dynamic_slice(L, (k * nb, 0), (nb, n))
+        bk = jax.lax.dynamic_slice(bm, (k * nb, 0), (nb, m))
+        inv_k = jax.lax.dynamic_slice(inv_diag, (k, 0, 0), (1, nb, nb))[0]
+        yk = inv_k @ (bk - row @ y)
+        return jax.lax.dynamic_update_slice(y, yk, (k * nb, 0))
+
+    y = jax.lax.fori_loop(0, K, fwd, y0)
+
+    def bwd(i, x):
+        # x_k = inv(L_kk)^T (y_k - (column block k)^T x): only rows below
+        # the panel carry solved x entries, the rest multiply zeros.
+        k = K - 1 - i
+        colb = jax.lax.dynamic_slice(L, (0, k * nb), (n, nb))
+        yk = jax.lax.dynamic_slice(y, (k * nb, 0), (nb, m))
+        inv_k = jax.lax.dynamic_slice(inv_diag, (k, 0, 0), (1, nb, nb))[0]
+        xk = inv_k.T @ (yk - colb.T @ x)
+        return jax.lax.dynamic_update_slice(x, xk, (k * nb, 0))
+
+    x = jax.lax.fori_loop(0, K, bwd, y0)
+    return x[:, 0] if vec else x
+
+
+def _blocked_spd_solve(A: jnp.ndarray, B: jnp.ndarray, nb: int = BLOCK_NB):
+    """Blocked-tier solve for one or many RHS. Pads n up to a multiple of
+    ``nb`` with an identity tail (factors cleanly, contributes nothing)."""
+    n = A.shape[-1]
+    pad = (-n) % nb
+    if pad:
+        n_p = n + pad
+        A_p = jnp.zeros((n_p, n_p), A.dtype)
+        A_p = A_p.at[:n, :n].set(A)
+        A_p = A_p.at[jnp.arange(n, n_p), jnp.arange(n, n_p)].set(1.0)
+        B_p = jnp.zeros((n_p,) + B.shape[1:], B.dtype).at[:n].set(B)
+    else:
+        A_p, B_p = A, B
+    L, inv_diag = _chol_blocked(A_p, nb)
+    diag = jnp.diagonal(L)
+    fail = ~jnp.all(jnp.isfinite(diag))
+    # Sanitize so the substitution never propagates NaN/Inf into a result
+    # that is discarded anyway (the caller zero-fills on failure).
+    L = jnp.where(jnp.isfinite(L), L, 0.0)
+    inv_diag = jnp.where(jnp.isfinite(inv_diag), inv_diag, 0.0)
+    x = _blocked_tri_solves(L, inv_diag, B_p, nb)
+    x = jnp.where(fail, jnp.zeros_like(x), x)[:n]
+    return x, fail
+
+
 def spd_solve(A: jnp.ndarray, b: jnp.ndarray):
     """Solve A x = b for SPD A.
 
@@ -79,12 +231,7 @@ def spd_solve(A: jnp.ndarray, b: jnp.ndarray):
         x = _solve_unrolled(Lsafe, b)
         x = jnp.where(fail, jnp.zeros_like(x), x)
         return x, fail
-    chol = jnp.linalg.cholesky(A)
-    fail = jnp.any(jnp.isnan(chol))
-    chol_safe = jnp.where(fail, jnp.eye(n, dtype=A.dtype), chol)
-    x = jax.scipy.linalg.cho_solve((chol_safe, True), b)
-    x = jnp.where(fail, jnp.zeros_like(x), x)
-    return x, fail
+    return _blocked_spd_solve(A, b)
 
 
 def spd_solve_multi(A: jnp.ndarray, B: jnp.ndarray):
@@ -103,9 +250,4 @@ def spd_solve_multi(A: jnp.ndarray, B: jnp.ndarray):
         x = jax.vmap(lambda bb: _solve_unrolled(Lsafe, bb), in_axes=1, out_axes=1)(B)
         x = jnp.where(fail, jnp.zeros_like(x), x)
         return x, fail
-    chol = jnp.linalg.cholesky(A)
-    fail = jnp.any(jnp.isnan(chol))
-    chol_safe = jnp.where(fail, jnp.eye(n, dtype=A.dtype), chol)
-    x = jax.scipy.linalg.cho_solve((chol_safe, True), B)
-    x = jnp.where(fail, jnp.zeros_like(x), x)
-    return x, fail
+    return _blocked_spd_solve(A, B)
