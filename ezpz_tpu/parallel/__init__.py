@@ -3,7 +3,8 @@ solves over a ``jax.sharding.Mesh`` (ICI/DCN via XLA collectives — the
 reference is single-threaded CPU; SURVEY.md section 2 defines these TPU-native
 equivalents)."""
 
+from .block_schur import BlockSchurSolver
 from .fleet import FleetSolver
 from .schur import ShardedSchurSolver
 
-__all__ = ["FleetSolver", "ShardedSchurSolver"]
+__all__ = ["BlockSchurSolver", "FleetSolver", "ShardedSchurSolver"]

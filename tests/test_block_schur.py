@@ -1,0 +1,127 @@
+"""BlockSchurSolver: single-chip partitioned Schur solves for *coupled*
+systems (the TPU answer to the reference's sparse LLT on one core,
+``ezpz/src/solver/newton.rs:87-102``). Correctness = exact agreement with
+the global dense solve_lm path on the same constraints.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import ezpz_tpu as ez
+from ezpz_tpu.config import Config
+from ezpz_tpu.constraints import Constraint
+from ezpz_tpu.datatypes import DatumPoint
+from ezpz_tpu.models.compiled import compile_system
+from ezpz_tpu.parallel import BlockSchurSolver
+from ezpz_tpu.solver import solve_lm
+
+from .test_parallel import _coupled_chain_problem
+
+
+def _global(constraints, x0):
+    c = Config()
+    system = compile_system(constraints, len(x0))
+    return solve_lm(system, jnp.asarray(x0), c.max_iterations,
+                    c.residual_tolerance, c.step_tolerance, c.initial_lambda)
+
+
+def test_f64_matches_global_solve():
+    """f64 partitioned-Schur: identical x AND identical iteration count to
+    the global dense path (same LM loop, exact same step in exact
+    arithmetic)."""
+    constraints, x0 = _coupled_chain_problem(n_blocks=8, pts_per_block=4)
+    ref = _global(constraints, x0)
+    out = BlockSchurSolver(constraints, len(x0), precision="f64").solve(x0)
+    assert out["converged"]
+    assert out["n_boundary"] > 0  # genuinely coupled
+    assert out["n_parts"] > 1
+    assert out["iterations"] == int(ref.iterations)
+    np.testing.assert_allclose(out["x"], np.asarray(ref.x), atol=1e-9)
+    assert bool(np.asarray(out["satisfied"]).all())
+
+
+def test_mixed_precision_converges_to_f64_answer():
+    constraints, x0 = _coupled_chain_problem(n_blocks=8, pts_per_block=4)
+    ref = _global(constraints, x0)
+    out = BlockSchurSolver(constraints, len(x0), precision="mixed").solve(x0)
+    assert out["converged"]
+    # f32 steps, f64 accept/reject: same solution to well below the 1e-4
+    # satisfaction epsilon (typically ~1e-7).
+    np.testing.assert_allclose(out["x"], np.asarray(ref.x), atol=1e-5)
+    assert bool(np.asarray(out["satisfied"]).all())
+
+
+def test_explicit_partition_count():
+    """More partitions (smaller interiors, bigger boundary) must not change
+    the answer."""
+    constraints, x0 = _coupled_chain_problem(n_blocks=8, pts_per_block=4)
+    ref = _global(constraints, x0)
+    for P in (1, 4, 8):
+        out = BlockSchurSolver(
+            constraints, len(x0), n_parts=P, precision="f64"
+        ).solve(x0)
+        assert out["converged"], P
+        np.testing.assert_allclose(out["x"], np.asarray(ref.x), atol=1e-9,
+                                   err_msg=f"P={P}")
+
+
+def test_batch_matches_loop_of_singles():
+    """solve_batch over perturbed guesses == per-guess solve (vmap
+    equivalence, the framework-wide batching invariant)."""
+    constraints, x0 = _coupled_chain_problem(n_blocks=4, pts_per_block=3)
+    s = BlockSchurSolver(constraints, len(x0), precision="f64")
+    rng = np.random.default_rng(1)
+    x0s = np.stack([x0 + rng.uniform(-0.05, 0.05, len(x0)) for _ in range(4)])
+    res, sat = s.solve_batch(x0s)
+    assert bool(np.asarray(res.converged).all())
+    assert bool(np.asarray(sat).all())
+    for i in range(4):
+        single = s.solve(x0s[i])
+        assert single["iterations"] == int(np.asarray(res.iterations)[i])
+        np.testing.assert_allclose(np.asarray(res.x)[i], single["x"], atol=1e-12)
+
+
+def test_uncoupled_system_has_empty_boundary():
+    """A block-diagonal problem partitions with n_boundary == 0 and still
+    solves (pure batched-interior path)."""
+    cs = []
+    x0 = np.zeros(8)
+    for b in range(2):
+        p = DatumPoint(4 * b, 4 * b + 1)
+        q = DatumPoint(4 * b + 2, 4 * b + 3)
+        cs += [Constraint.Fixed(p.x_id, 0.0), Constraint.Fixed(p.y_id, 0.0),
+               Constraint.Distance(p, q, 5.0)]
+        x0[4 * b + 2] = 3.0 + b
+        x0[4 * b + 3] = 3.0
+    out = BlockSchurSolver(cs, 8, n_parts=2, precision="f64").solve(x0)
+    assert out["n_boundary"] == 0
+    assert out["converged"]
+    ref = _global(cs, x0)
+    np.testing.assert_allclose(out["x"], np.asarray(ref.x), atol=1e-9)
+
+
+def test_textual_coupled_fixture():
+    """End to end through the textual frontend on the coupled generator
+    (tools/gen_massive.py) — the non-block-diagonal massive variant."""
+    import subprocess
+    import sys as _sys
+    import os
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    txt = subprocess.run(
+        [_sys.executable, os.path.join(here, "tools", "gen_massive.py"),
+         "12", "coupled"],
+        capture_output=True, text=True, check=True).stdout
+    from ezpz_tpu.textual import Problem
+    cs = Problem.from_str(txt).to_constraint_system()
+    constraints = [r.constraint for r in cs.constraints]
+    x0 = np.zeros(len(cs.initial_guesses))
+    for vid, val in cs.initial_guesses:
+        x0[vid] = val
+    ref = _global(constraints, x0)
+    assert bool(ref.converged)
+    out = BlockSchurSolver(constraints, len(x0), precision="f64").solve(x0)
+    assert out["converged"]
+    assert out["n_boundary"] > 0
+    np.testing.assert_allclose(out["x"], np.asarray(ref.x), atol=1e-8)
