@@ -90,6 +90,7 @@ class BatchSolver:
         self.pallas_coarse = pallas_coarse
         self.pallas_trips = pallas_trips
         self._pallas_runs: dict = {}
+        self._analysis_run = None
         max_iterations = config.max_iterations
         # Small topologies solve via the unrolled (static-index) evaluator.
         ev64 = _maybe_unroll(system)
@@ -235,6 +236,38 @@ class BatchSolver:
             satisfied=sat,
             degenerate=res.deg,
         )
+
+    def solve_analysis(self, x0: jnp.ndarray, pars: Optional[Tuple] = None):
+        """Solve the batch AND run freedom (DoF) analysis per sketch —
+        the batched ``solve_analysis`` (``ezpz/src/lib.rs:134-144``,
+        ``solver/find_dof.rs:15-104``) the reference computes one host QR
+        at a time. Here the B dense Jacobians at the solved points and
+        their nullspace participations are computed in ONE vmapped device
+        SVD pass and ONE device->host transfer (loop-equivalence tested).
+
+        Returns ``(BatchResult, [FreedomAnalysis] * B)``.
+        """
+        from .dof import participation_device, underconstrained_from_participation
+        from .utils.errors import EmptySystemNotAllowed
+
+        system = self.system
+        if min(system.n_rows, system.n_vars) == 0:
+            raise EmptySystemNotAllowed()
+        res = self.solve(x0, pars)
+        if self._analysis_run is None:
+            if self.batch_params:
+                fn = lambda x, p: participation_device(
+                    system.jacobian_dense(x, p))
+                self._analysis_run = jax.jit(jax.vmap(fn))
+            else:
+                fn = lambda x: participation_device(system.jacobian_dense(x))
+                self._analysis_run = jax.jit(jax.vmap(fn))
+        args = (res.x,) + ((pars,) if self.batch_params else ())
+        parts, _null = self._analysis_run(*args)
+        parts = np.asarray(parts)
+        analyses = [underconstrained_from_participation(parts[i])
+                    for i in range(parts.shape[0])]
+        return res, analyses
 
 
 class MultiTopologySolver:
