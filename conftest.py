@@ -1,0 +1,27 @@
+"""Repo-root pytest config: pin the CPU backend with a faked 8-device mesh
+for EVERY collected file — including ``--doctest-modules`` runs over
+``ezpz_tpu/`` (the host's sitecustomize force-selects a remote-tunnel TPU
+plugin and ignores ``JAX_PLATFORMS``, so doctests would otherwise compile
+through the tunnel at ~100x the wall time). ``tests/conftest.py`` applies
+the same settings; both are idempotent."""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import ezpz_tpu
+
+ezpz_tpu.enable_compilation_cache(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running integration test (multi-process spawns)"
+    )

@@ -58,6 +58,27 @@ class BatchSolver:
     ``pars`` (optional) is a tuple of (B, n_k, np_k) arrays aligned with
     ``system.blocks`` — per-sketch constraint parameters. Without it, all
     sketches share the compile-time parameters and only guesses vary.
+
+    Solve three sketches of the same topology (pin p, hold q at distance 5)
+    from different guesses in one vmapped call:
+
+    >>> import numpy as np
+    >>> from ezpz_tpu import Constraint, DatumPoint
+    >>> from ezpz_tpu.batch import BatchSolver
+    >>> from ezpz_tpu.config import Config
+    >>> from ezpz_tpu.models.compiled import compile_system
+    >>> p, q = DatumPoint(0, 1), DatumPoint(2, 3)
+    >>> system = compile_system([Constraint.Fixed(0, 0.0),
+    ...                          Constraint.Fixed(1, 0.0),
+    ...                          Constraint.Distance(p, q, 5.0)], n_vars=4)
+    >>> x0 = np.array([[0.0, 0.0, 3.0, 3.9],
+    ...                [0.0, 0.0, 2.9, 4.1],
+    ...                [0.0, 0.0, 4.1, 2.8]])
+    >>> res = BatchSolver(system, Config()).solve(x0)
+    >>> bool(np.asarray(res.converged).all())
+    True
+    >>> np.allclose(np.hypot(np.asarray(res.x)[:, 2], np.asarray(res.x)[:, 3]), 5.0)
+    True
     """
 
     def __init__(self, system: CompiledSystem, config: Config = Config(),

@@ -63,7 +63,17 @@ def _angle_sincos(angle_kind: AngleKind, angle: Optional[Angle]) -> Tuple[float,
 @dataclass(frozen=True)
 class Constraint:
     """A geometric constraint. Use the PascalCase constructors, which mirror
-    the reference enum variants one-to-one."""
+    the reference enum variants one-to-one.
+
+    >>> from ezpz_tpu.datatypes import DatumPoint
+    >>> c = Constraint.Distance(DatumPoint(0, 1), DatumPoint(2, 3), 4.0)
+    >>> c.residual_dim()
+    1
+    >>> c.dependent_variable_ids()
+    [0, 1, 2, 3]
+    >>> [k.kernel for k in c.lower()]
+    ['distance']
+    """
 
     kind: str
     payload: dict = field(default_factory=dict)

@@ -34,7 +34,16 @@ TOLERANCE_BASE = 1e-8  # find_dof.rs:12
 
 
 def freedom_analysis(jacobian: np.ndarray) -> FreedomAnalysis:
-    """``jacobian``: dense (m, n) weighted Jacobian at the final values."""
+    """``jacobian``: dense (m, n) weighted Jacobian at the final values.
+
+    A single row constraining only the first of three variables leaves the
+    other two underconstrained:
+
+    >>> freedom_analysis([[1.0, 0.0, 0.0]]).underconstrained()
+    [1, 2]
+    >>> freedom_analysis(np.eye(3)).is_underconstrained()
+    False
+    """
     j = np.asarray(jacobian, dtype=np.float64)
     m, nvars = j.shape
     if min(m, nvars) == 0:

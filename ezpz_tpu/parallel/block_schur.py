@@ -61,6 +61,24 @@ class BlockSchurSolver:
     variables factor as a single vmapped batch (sweet spot: interiors at or
     below the unrolled-Cholesky tier, ~24 vars). ``part_of_var`` overrides
     the default contiguous partition with an explicit var -> partition map.
+
+    Two distance sketches coupled by a ``ScalarEqual`` across the cut —
+    NOT block-diagonal, solved by partitioned Schur on one chip:
+
+    >>> import numpy as np
+    >>> from ezpz_tpu import Constraint, DatumPoint
+    >>> from ezpz_tpu.parallel import BlockSchurSolver
+    >>> p, q = DatumPoint(0, 1), DatumPoint(2, 3)
+    >>> r, s = DatumPoint(4, 5), DatumPoint(6, 7)
+    >>> cs = [Constraint.Fixed(0, 0.0), Constraint.Fixed(1, 0.0),
+    ...       Constraint.Distance(p, q, 2.0),
+    ...       Constraint.Fixed(4, 1.0), Constraint.Fixed(5, 0.0),
+    ...       Constraint.Distance(r, s, 2.0),
+    ...       Constraint.ScalarEqual(3, 7)]
+    >>> out = BlockSchurSolver(cs, 8, n_parts=2, precision="f64").solve(
+    ...     np.array([0.0, 0.0, 1.4, 1.5, 1.0, 0.0, 2.4, 1.6]))
+    >>> out["converged"] and out["n_parts"] == 2 and out["n_boundary"] == 2
+    True
     """
 
     def __init__(

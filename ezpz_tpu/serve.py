@@ -42,7 +42,24 @@ class SolveRequest:
 
 class SolverService:
     """Parses textual problems, caches compiled topologies, micro-batches
-    same-topology requests arriving within ``batch_window_ms``."""
+    same-topology requests arriving within ``batch_window_ms``.
+
+    >>> svc = SolverService(batch_window_ms=1.0)
+    >>> out = svc.solve_text('''
+    ... # constraints
+    ... point p
+    ... p.x = 0
+    ... p.y = 0
+    ...
+    ... # guesses
+    ... p roughly (0.2, -0.1)
+    ... ''')
+    >>> svc.shutdown()
+    >>> out["converged"], out["precision"], out["iterations_comparable"]
+    (True, 'f64', True)
+    >>> all(abs(v) < 1e-6 for v in out["points"]["p"])
+    True
+    """
 
     def __init__(self, batch_window_ms: float = 2.0, max_batch: int = 4096,
                  precision: str = "auto"):

@@ -61,7 +61,29 @@ class Instruction:
 
 @dataclass
 class Problem:
-    """A parsed problem (``textual.rs:33-42``)."""
+    """A parsed problem (``textual.rs:33-42``).
+
+    Parse the reference textual format and solve end to end:
+
+    >>> p = Problem.from_str('''
+    ... # constraints
+    ... point p
+    ... point q
+    ... p = (0, 0)
+    ... distance(p, q, 5)
+    ... horizontal(p, q)
+    ...
+    ... # guesses
+    ... p roughly (0.1, -0.1)
+    ... q roughly (4.5, 0.3)
+    ... ''')
+    >>> outcome = p.to_constraint_system().solve()
+    >>> outcome.converged
+    True
+    >>> q = outcome.get_point("q")
+    >>> (round(q.x, 6), round(q.y, 6))
+    (5.0, 0.0)
+    """
 
     instructions: List[Instruction] = field(default_factory=list)
     inner_points: List[Label] = field(default_factory=list)

@@ -14,10 +14,15 @@ lint:
     python -m compileall -q ezpz_tpu tests benches tools bench.py __graft_entry__.py
     python -m pytest tests/ -q --collect-only > /dev/null
 
-# Runnable-docs check (the analog of `cargo test --doc`).
+# Runnable-docs check (the analog of `cargo test --doc`). The repo-root
+# conftest.py pins the CPU backend for these.
 doctest:
-    JAX_PLATFORMS=cpu python -m pytest --doctest-modules \
-        ezpz_tpu/config.py ezpz_tpu/utils/ids.py ezpz_tpu/api.py -q
+    python -m pytest --doctest-modules \
+        ezpz_tpu/config.py ezpz_tpu/utils/ids.py ezpz_tpu/api.py \
+        ezpz_tpu/batch.py ezpz_tpu/constraints.py ezpz_tpu/dof.py \
+        ezpz_tpu/serve.py ezpz_tpu/textual/problem.py \
+        ezpz_tpu/parallel/fleet.py ezpz_tpu/parallel/schur.py \
+        ezpz_tpu/parallel/block_schur.py -q
 
 # Headline benchmark (one JSON line; runs on the TPU when available).
 bench:
@@ -39,6 +44,16 @@ regen-massive-test N="2000":
 # Long-running randomized fuzzing (hypothesis, more examples than CI).
 fuzz:
     EZPZ_TPU_FUZZ_EXAMPLES=2000 python -m pytest tests/test_fuzz.py -q
+
+# Mutation testing (the `just mutants` analog, reference justfile:107-110).
+# Self-contained AST mutator — no external tool. Targeted selections keep
+# each mutant's run fast; see tools/mutate.py for usage.
+mutants:
+    python tools/mutate.py ezpz_tpu/utils/warnings.py -- tests/test_warnings_lint.py -q
+    python tools/mutate.py ezpz_tpu/solver.py --sample 40 -- \
+        tests/test_solver_edges.py tests/test_api.py -q
+    python tools/mutate.py ezpz_tpu/ops/kernels.py --sample 40 -- \
+        tests/test_properties.py -q
 
 # Quick fuzz sanity (the CI `fuzz-check` analog).
 fuzz-check:
