@@ -1,24 +1,35 @@
 """SPD solves tuned for TPU.
 
-Three tiers, by system size:
+Two tiers by system size, chosen by MEASUREMENT on a v5e chip:
 
 * n <= 24 — fully unrolled Cholesky-Crout: pure VPU elementwise ops that
   fuse into the surrounding LM loop. XLA's batched ``jnp.linalg.cholesky``
   lowers to a serialized decomposition that is ~100x slower for tiny
   matrices on TPU (335 ms vs 3 ms for 150k 4x4 f64 factorizations on v5e).
-* 24 < n — blocked right-looking Cholesky (``_chol_blocked``): a
-  ``fori_loop`` over 32-wide panels where the diagonal block factors with
-  the unrolled Crout, the panel solve is one (n, nb) x (nb, nb) matmul
-  against an unrolled triangular inverse, and the trailing update is a
-  masked full-width Z Z^T matmul on the MXU. This is the tier the
+* 24 < n — XLA's ``cholesky`` + triangular solves, wrapped with the
+  NaN-as-failure semantics the LM loop needs. This is the tier the
   reference serves with faer's sparse LLT (``newton.rs:87-102``,
-  ``solver.rs:270-300``) — the TPU answer is dense blocked MXU work, which
-  beats XLA's own cholesky lowering by avoiding its serialized panel
-  algorithm (and, in f64, most of the emulated-f64 scalar work).
+  ``solver.rs:270-300``).
 
-Failure semantics match ``jnp.linalg.cholesky``: a non-SPD matrix yields
-NaN (sqrt of a negative), which the LM loop detects and treats as a
-rejected step (mirroring faer's LltError::Numeric, ``newton.rs:96-99``).
+A hand-blocked right-looking alternative (``_blocked_spd_solve``: unrolled
+diagonal-block Crout + triangular inverse, MXU panel/trailing matmuls over
+32-wide panels) was built and parity-tested for this tier, then measured
+on the v5e — XLA's own lowering wins or ties every regime, so it is NOT
+the default (opt-in via ``_blocked_spd_solve`` only):
+
+    single matrix    f32: XLA 4.3/5.8/6.8 ms at n=256/512/2048 vs
+                          blocked 22.8/44.7/152.8 ms (XLA 5-23x faster)
+                     f64: tie (26/47 ms at 256/512 — both emulation-bound)
+    vmapped batch    f32: B=16 n=256 1.03x, B=16 n=512 0.88x,
+                          B=64 n=128 1.23x (tie within noise)
+
+(The round-1 "XLA cholesky is ~100x slow on TPU" finding is specific to
+TINY matrices; at medium n its blocked panel algorithm is near peak.)
+
+Failure semantics everywhere: a non-SPD matrix yields NaN (sqrt of a
+negative), which is detected and reported as ``fail`` with a zero-filled,
+finite ``x`` — the LM loop treats it as a rejected step (mirroring faer's
+LltError::Numeric, ``newton.rs:96-99``).
 """
 
 from __future__ import annotations
@@ -207,6 +218,23 @@ def _blocked_spd_solve(A: jnp.ndarray, B: jnp.ndarray, nb: int = BLOCK_NB):
     return x, fail
 
 
+def _xla_spd_solve(A: jnp.ndarray, B: jnp.ndarray):
+    """Medium/large tier: XLA cholesky + triangular solves with the
+    NaN-as-failure contract (one or many RHS)."""
+    L = jnp.linalg.cholesky(A)
+    diag = jnp.diagonal(L)
+    fail = ~jnp.all(jnp.isfinite(diag))
+    # Sanitize so the triangular solves never divide by NaN/0 when the
+    # result is discarded anyway (the caller zero-fills on failure).
+    L = jnp.where(jnp.isfinite(L), L, 0.0)
+    safe = jnp.where(jnp.abs(jnp.diagonal(L)) > 0.0, jnp.diagonal(L), 1.0)
+    L = L.at[jnp.arange(L.shape[-1]), jnp.arange(L.shape[-1])].set(safe)
+    y = jax.scipy.linalg.solve_triangular(L, B, lower=True)
+    x = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    x = jnp.where(fail, jnp.zeros_like(x), x)
+    return x, fail
+
+
 def spd_solve(A: jnp.ndarray, b: jnp.ndarray):
     """Solve A x = b for SPD A.
 
@@ -231,13 +259,15 @@ def spd_solve(A: jnp.ndarray, b: jnp.ndarray):
         x = _solve_unrolled(Lsafe, b)
         x = jnp.where(fail, jnp.zeros_like(x), x)
         return x, fail
-    return _blocked_spd_solve(A, b)
+    return _xla_spd_solve(A, b)
 
 
 def spd_solve_multi(A: jnp.ndarray, B: jnp.ndarray):
     """Solve A X = B for SPD A with multiple right-hand sides B (n, m).
     Returns (X, fail)."""
     n = A.shape[-1]
+    if n == 0:
+        return jnp.zeros_like(B), jnp.asarray(False)
     if n <= UNROLL_MAX_N:
         L = _chol_unrolled(A)
         diag = jnp.stack([L[i][i] for i in range(n)], axis=-1)
@@ -250,4 +280,4 @@ def spd_solve_multi(A: jnp.ndarray, B: jnp.ndarray):
         x = jax.vmap(lambda bb: _solve_unrolled(Lsafe, bb), in_axes=1, out_axes=1)(B)
         x = jnp.where(fail, jnp.zeros_like(x), x)
         return x, fail
-    return _blocked_spd_solve(A, B)
+    return _xla_spd_solve(A, B)

@@ -1,9 +1,12 @@
-"""Blocked-Cholesky tier of ``ops/linalg.py`` (24 < n): parity against
-numpy/XLA factorizations, failure semantics, dtypes, batching.
+"""Medium tier of ``ops/linalg.py`` (24 < n): parity against numpy/XLA
+factorizations, failure semantics, dtypes, batching — for BOTH the default
+XLA-cholesky routing of ``spd_solve`` and the opt-in hand-blocked kernel
+(``_blocked_spd_solve``; kept parity-tested even though measurement routed
+the default to XLA — see the module docstring's v5e table).
 
 This tier replaces the reference's sparse LLT for medium coupled systems
-(``ezpz/src/solver/newton.rs:87-102``): dense blocked MXU work instead of
-sparse scalar bookkeeping.
+(``ezpz/src/solver/newton.rs:87-102``): dense MXU work instead of sparse
+scalar bookkeeping.
 """
 
 import numpy as np
@@ -48,6 +51,19 @@ def test_blocked_factor_matches_xla_cholesky():
     L, _inv = jax.jit(lambda a: _chol_blocked(a, BLOCK_NB))(A)
     ref = jnp.linalg.cholesky(A)
     np.testing.assert_allclose(np.asarray(L), np.asarray(ref), atol=1e-9)
+
+
+@pytest.mark.parametrize("n", [40, 100, 257])
+def test_blocked_kernel_matches_default_routing(n):
+    """The opt-in blocked kernel solves to the same answer as the default
+    XLA tier (padding tail included)."""
+    rng = np.random.default_rng(n + 1)
+    A = jnp.asarray(_spd(rng, n))
+    b = jnp.asarray(rng.standard_normal(n))
+    x_blk, f_blk = jax.jit(_blocked_spd_solve)(A, b)
+    x_def, f_def = jax.jit(spd_solve)(A, b)
+    assert not bool(f_blk) and not bool(f_def)
+    np.testing.assert_allclose(np.asarray(x_blk), np.asarray(x_def), atol=1e-9)
 
 
 def test_blocked_multi_rhs():
