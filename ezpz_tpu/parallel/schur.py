@@ -42,6 +42,7 @@ from ..constraints import Constraint
 from ..models.compiled import EPSILON
 from ..ops.kernels import KERNELS
 from ..ops.linalg import spd_solve, spd_solve_multi
+from ..solver import _cg
 
 
 # ---------------------------------------------------------------------------
@@ -90,6 +91,29 @@ class _StackedBlock:
 
 
 class ShardedSchurSolver:
+    """Shard ONE coupled system's variables across a device mesh; each LM
+    step solves interiors locally and reduces the coupling through a Schur
+    complement with one ``psum`` per iteration.
+
+    Chain two fixed-base distance sketches coupled by a ``ScalarEqual``
+    across the partition cut, sharded over the (faked, in CI) device mesh:
+
+    >>> import numpy as np
+    >>> from ezpz_tpu import Constraint, DatumPoint
+    >>> from ezpz_tpu.parallel import ShardedSchurSolver
+    >>> p, q = DatumPoint(0, 1), DatumPoint(2, 3)
+    >>> r, s = DatumPoint(4, 5), DatumPoint(6, 7)
+    >>> cs = [Constraint.Fixed(0, 0.0), Constraint.Fixed(1, 0.0),
+    ...       Constraint.Distance(p, q, 2.0),
+    ...       Constraint.Fixed(4, 1.0), Constraint.Fixed(5, 0.0),
+    ...       Constraint.Distance(r, s, 2.0),
+    ...       Constraint.ScalarEqual(3, 7)]  # couples the halves
+    >>> out = ShardedSchurSolver(cs, 8).solve(
+    ...     np.array([0.0, 0.0, 1.4, 1.5, 1.0, 0.0, 2.4, 1.6]))
+    >>> out["converged"] and out["n_boundary"] > 0
+    True
+    """
+
     def __init__(
         self,
         constraints: Sequence[Constraint],
@@ -100,6 +124,9 @@ class ShardedSchurSolver:
         block_of_var: Optional[np.ndarray] = None,
         dtype=jnp.float64,
         precision: str = "f64",
+        boundary_solver: str = "dense",
+        cg_tol: float = 1e-12,
+        cg_max_iters: int = 400,
     ):
         """``precision="mixed"``: per-iteration inexact Newton for TPU —
         residuals, norms, and accept/reject stay f64, but Jacobians, the
@@ -107,10 +134,32 @@ class ShardedSchurSolver:
         factorization run in f32 (~6x faster where f64 is emulated). Near
         the solution |step| ~ |residual|, so f32 *relative* error on the
         step is far below the f64-verified 1e-8 target; far from it, the
-        accept/reject loop guards progress exactly as in the f64 path."""
+        accept/reject loop guards progress exactly as in the f64 path.
+
+        ``boundary_solver``: how the coupling (Schur) system is solved.
+
+        * ``"dense"`` (default) — psum the full (n_b, n_b) Schur matrix and
+          Cholesky it, replicated on every device. Exact; right for small
+          boundaries.
+        * ``"cg"`` — DISTRIBUTED matrix-free conjugate gradients: the
+          (n_b, n_b) Schur matrix is never materialized anywhere. Each CG
+          matvec applies every device's local contribution
+          ``A_BB_d v - A_dB^T (A_dd^-1 A_dB) v`` and psums the (n_b,)
+          result — one small collective per CG step, memory O(n_i * n_b)
+          per device instead of a replicated O(n_b^2). This removes the
+          quadratic boundary wall for large-boundary partitions (2-D grid
+          sketches, fine-grained meshes); the damped Schur complement is
+          SPD, so CG needs no failure path. ``cg_tol`` is RELATIVE to
+          |rhs| (inexact Newton: the LM accept/reject loop absorbs the
+          inexactness; tighten it if iteration-count parity with the dense
+          path matters)."""
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), ("d",))
         assert precision in ("f64", "mixed"), precision
+        assert boundary_solver in ("dense", "cg"), boundary_solver
+        self.boundary_solver = boundary_solver
+        self.cg_tol = float(cg_tol)
+        self.cg_max_iters = int(cg_max_iters)
         self.mesh = mesh
         D = mesh.devices.size
         self.config = config
@@ -363,11 +412,24 @@ class ShardedSchurSolver:
 
                 if n_b:
                     w_mat, _fw = spd_solve_multi(a_ii, a_ib)
-                    s_part = a_bb_part - a_ib.T @ w_mat
-                    rhs_part = b_b - a_ib.T @ u
-                    s_mat = jax.lax.psum(s_part, "d") + lam_j * eye_b
-                    rhs = jax.lax.psum(rhs_part, "d")
-                    d_b, fail_b = spd_solve(s_mat, rhs)
+                    rhs = jax.lax.psum(b_b - a_ib.T @ u, "d")
+                    if self.boundary_solver == "cg":
+                        # Distributed boundary solve: CG state is replicated
+                        # (n_b,) vectors; only the matvec is distributed —
+                        # one (n_b,) psum per CG iteration, no (n_b, n_b)
+                        # matrix anywhere.
+                        def s_matvec(v):
+                            local = a_bb_part @ v - a_ib.T @ (w_mat @ v)
+                            return jax.lax.psum(local, "d") + lam_j * v
+
+                        tol = self.cg_tol * jnp.sqrt(jnp.vdot(rhs, rhs))
+                        d_b = _cg(s_matvec, rhs, jnp.zeros_like(rhs),
+                                  tol, self.cg_max_iters)
+                        fail_b = jnp.asarray(False)
+                    else:
+                        s_part = a_bb_part - a_ib.T @ w_mat
+                        s_mat = jax.lax.psum(s_part, "d") + lam_j * eye_b
+                        d_b, fail_b = spd_solve(s_mat, rhs)
                     d_i, _fi2 = spd_solve(a_ii, b_i - a_ib @ d_b)
                     step_inf_b = jnp.max(jnp.abs(d_b))
                 else:
@@ -384,8 +446,13 @@ class ShardedSchurSolver:
                 ) > 0
                 d_i = jnp.where(fail, jnp.zeros_like(d_i), d_i)
                 d_b = jnp.where(fail, jnp.zeros_like(d_b), d_b)
+                # n_i == 0 (every variable on the boundary — tiny systems
+                # over many devices): no interior step to measure.
+                step_inf_i = (
+                    jnp.max(jnp.abs(d_i)) if n_i else jnp.zeros((), dtype)
+                )
                 step_inf = jax.lax.pmax(
-                    jnp.maximum(jnp.max(jnp.abs(d_i)), step_inf_b), "d"
+                    jnp.maximum(step_inf_i, step_inf_b), "d"
                 )
 
                 x_i_new = s["x_i"] + d_i
@@ -469,20 +536,33 @@ class ShardedSchurSolver:
         ) if self.n_b else np.zeros((0,))
         return x_i0, x_b0
 
+    @staticmethod
+    def _np(a) -> np.ndarray:
+        """Device array -> host numpy, multi-process safe: an array sharded
+        over a multi-host mesh spans non-addressable devices, so a plain
+        ``np.asarray`` raises — all-gather it to every host first. (Found by
+        tests/test_multihost.py's two-process run.)"""
+        if isinstance(a, jax.Array) and jax.process_count() > 1 \
+                and not a.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+        return np.asarray(a)
+
     def _gather_x(self, x0, x_i, x_b) -> np.ndarray:
         x_out = np.array(x0, dtype=np.float64)
-        x_i = np.asarray(x_i)
+        x_i = self._np(x_i)
         for d in range(self.layout.n_devices):
             ids = self.layout.interior[d]
             x_out[ids] = x_i[d, : len(ids)]
-        x_out[self.layout.boundary] = np.asarray(x_b)
+        x_out[self.layout.boundary] = self._np(x_b)
         return x_out
 
     def _outcome(self, x_out, iterations, converged, deg, sat):
         satisfied = np.ones(self.n_constraints, dtype=bool)
         degenerate = np.zeros(self.n_constraints, dtype=bool)
-        sat = np.asarray(sat)
-        deg = np.asarray(deg)
+        sat = self._np(sat)
+        deg = self._np(deg)
         for d in range(self.layout.n_devices):
             for s_, cid in enumerate(self.cons_map[d]):
                 if cid >= 0:
@@ -490,8 +570,8 @@ class ShardedSchurSolver:
                     degenerate[cid] = deg[d, s_]
         return dict(
             x=x_out,
-            iterations=int(iterations),
-            converged=bool(converged),
+            iterations=int(self._np(iterations)),
+            converged=bool(self._np(converged)),
             satisfied=satisfied,
             degenerate=degenerate,
             n_boundary=self.n_b,
@@ -569,13 +649,13 @@ class ShardedSchurSolver:
             limit = min(it + checkpoint_every, c.max_iterations)
             (x_i, x_b, iterations, converged, deg_out, sat, lam_out, it_out,
              finished) = self._run_segment(x_i, x_b, lam, it, deg, limit)
-            x_i = np.asarray(x_i)
-            x_b = np.asarray(x_b)
-            deg = np.asarray(deg_out)
-            lam = float(lam_out)
-            it = int(it_out)
+            x_i = self._np(x_i)
+            x_b = self._np(x_b)
+            deg = self._np(deg_out)
+            lam = float(self._np(lam_out))
+            it = int(self._np(it_out))
             save_state(checkpoint_path, fp, x_i, x_b, lam, it, deg)
-            if bool(finished) or it >= c.max_iterations:
+            if bool(self._np(finished)) or it >= c.max_iterations:
                 break
 
         # The solve is complete: remove the checkpoint so a re-invocation of
