@@ -21,17 +21,21 @@ omitted (jax.distributed auto-detects). ``--demo fleet`` runs the
 data-parallel fleet instead; ``--demo none`` just initializes and prints the
 global device topology (a connectivity smoke test).
 
-This script cannot be integration-tested in a single-host CI — the faked
-multi-device coverage lives in tests/test_parallel.py and
-benches/scaling_bench.py — but everything below is plain documented JAX
-multi-process usage plus the same solver calls those tests pin.
+``--cpu N`` forces the CPU backend with N faked devices per process —
+this makes the script integration-testable on a single machine by
+launching two local processes against a localhost coordinator
+(tests/test_multihost.py does exactly that); the same flag is handy for
+dry-running a multi-host topology before burning TPU time.
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None) -> int:
@@ -43,9 +47,23 @@ def main(argv=None) -> int:
     ap.add_argument("--demo", choices=["none", "fleet", "schur"], default="none")
     ap.add_argument("--sketches-per-chip", type=int, default=65536)
     ap.add_argument("--points-per-chip", type=int, default=256)
+    ap.add_argument("--cpu", type=int, default=0, metavar="N",
+                    help="force the CPU backend with N faked devices per "
+                         "process (local multi-process testing)")
     args = ap.parse_args(argv)
 
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu}"
+        )
+
     import jax
+
+    if args.cpu:
+        # The env var alone is not enough on hosts whose sitecustomize
+        # force-selects another plugin; pin the config explicitly.
+        jax.config.update("jax_platforms", "cpu")
 
     kw = {}
     if args.coordinator:
