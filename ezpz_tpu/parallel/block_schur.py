@@ -224,8 +224,14 @@ class BlockSchurSolver:
                 )
                 wgt[p, :nn] = ks["w"]
                 cid[p, :nn] = ks["cid"]
+            # par/wgt kept in BOTH precisions: residual rows evaluate in
+            # the solve dtype, Jacobians in jac_dtype (see
+            # _partition_normal_eq).
             self.jblocks.append(
-                (spec, idx, par.astype(np.dtype(self.jac_dtype)),
+                (spec, idx,
+                 par.astype(np.dtype(dtype)),
+                 par.astype(np.dtype(self.jac_dtype)),
+                 wgt.astype(np.dtype(dtype)),
                  wgt.astype(np.dtype(self.jac_dtype)), cid)
             )
 
@@ -234,30 +240,45 @@ class BlockSchurSolver:
     # -- the f32 partitioned normal-equation pass -------------------------
 
     def _partition_normal_eq(self, x):
-        """Per-partition (jtj, jtr, deg) in jac_dtype at global x (f64)."""
+        """Per-partition (jtj, jtr, deg) in jac_dtype at global x (f64).
+
+        The refinement structure that makes ``precision="mixed"`` actually
+        converge: residual rows evaluate in the SOLVE dtype at the true
+        f64 x (coordinates of magnitude c are only representable to
+        ~6e-8*c in f32 — evaluating the RHS at the f32-rounded point caps
+        achievable residuals far above 1e-8; measured as a hard
+        non-convergence on the 2400-var coupled fixture, whose
+        coordinates reach 600). Jacobians evaluate in jac_dtype at the
+        rounded point: the STEP direction only needs relative accuracy,
+        exactly like ``ShardedSchurSolver._local_eval``.
+        """
         jt = self.jac_dtype
         P, m, kb = self.P, self.m, self.kb
         n_loc = m + kb
-        x_ext = jnp.concatenate([x.astype(jt), jnp.zeros((1,), jt)])
-        x_loc = x_ext[self.l2g]  # (P, n_loc)
+        x_ext = jnp.concatenate([x, jnp.zeros((1,), self.dtype)])
+        x_loc = x_ext[self.l2g]  # (P, n_loc) in solve dtype
+        x_loc_j = x_loc.astype(jt)
         jtj = jnp.zeros((P, n_loc, n_loc), jt)
         jtr = jnp.zeros((P, n_loc), jt)
         deg = jnp.zeros((self.n_constraints + 1,), jnp.bool_)
-        for spec, idx, par, wgt, cid in self.jblocks:
+
+        def gather(xl, idx):
+            return jnp.take_along_axis(
+                xl[:, :, None], idx.transpose(0, 2, 1), axis=1
+            ).transpose(0, 2, 1)  # (P, nb, nv)
+
+        for spec, idx, par64, par_j, wgt64, wgt_j, cid in self.jblocks:
             fn = spec.fn
 
-            def jac_val(vv, pp, fn=fn):
-                def wrapped(z):
-                    res_, dg_ = fn(z, pp)
-                    return res_, (res_, dg_)
-                return jax.jacfwd(wrapped, has_aux=True)(vv)
+            def jac_only(vv, pp, fn=fn):
+                return jax.jacfwd(lambda z: fn(z, pp)[0])(vv)
 
-            v = jnp.take_along_axis(
-                x_loc[:, :, None], idx.transpose(0, 2, 1), axis=1
-            ).transpose(0, 2, 1)  # (P, nb, nv)
-            jac, (res, dg) = jax.vmap(jax.vmap(jac_val))(v, jnp.asarray(par))
-            w = jnp.asarray(wgt)
-            wres = res * w[:, :, None]
+            res64, dg = jax.vmap(jax.vmap(fn))(
+                gather(x_loc, idx), jnp.asarray(par64))
+            jac = jax.vmap(jax.vmap(jac_only))(
+                gather(x_loc_j, idx), jnp.asarray(par_j))
+            wres = (res64 * jnp.asarray(wgt64)[:, :, None]).astype(jt)
+            w = jnp.asarray(wgt_j)
             wjac = jac * w[:, :, None, None]
             contrib = jnp.einsum("pndk,pndl->pnkl", wjac, wjac)
             jtj = jtj.at[
@@ -334,20 +355,26 @@ class BlockSchurSolver:
         system = self.system
 
         def solve_one(x0, rtol, stol, lam0):
-            state = _init_state(system, x0, lam0,
-                                lam_dtype=self.jac_dtype)
+            # TPU matmuls on f32 inputs default to bfloat16 multiplies —
+            # enough to keep the mixed path's Schur algebra from ever
+            # reaching the f64 1e-8 target (measured: diverges on the v5e
+            # while converging on CPU). Bake full-f32 precision into the
+            # trace; still ~6x cheaper than emulated f64.
+            with jax.default_matmul_precision("highest"):
+                state = _init_state(system, x0, lam0,
+                                    lam_dtype=self.jac_dtype)
 
-            def step(s):
-                return self._schur_step(s.x, s.lam)
+                def step(s):
+                    return self._schur_step(s.x, s.lam)
 
-            final, res_conv = _lm_while_loop(
-                state, lambda xx: system.residual_and_flags(xx), step,
-                c.max_iterations, jnp.asarray(rtol, self.dtype),
-                jnp.asarray(stol, self.dtype), boundary_parity=True,
-            )
-            res = _reference_result(final, res_conv, c.max_iterations)
-            sat = system.constraint_satisfaction(res.x)
-            return res, sat
+                final, res_conv = _lm_while_loop(
+                    state, lambda xx: system.residual_and_flags(xx), step,
+                    c.max_iterations, jnp.asarray(rtol, self.dtype),
+                    jnp.asarray(stol, self.dtype), boundary_parity=True,
+                )
+                res = _reference_result(final, res_conv, c.max_iterations)
+                sat = system.constraint_satisfaction(res.x)
+                return res, sat
 
         self._solve_one = jax.jit(solve_one)
         self._solve_many = jax.jit(
