@@ -83,7 +83,8 @@ class BatchSolver:
 
     def __init__(self, system: CompiledSystem, config: Config = Config(),
                  batch_params: bool = False, precision: str = "f64",
-                 pallas_coarse: bool = False, pallas_trips: int = 4):
+                 pallas_coarse: bool = False, pallas_trips: int = 4,
+                 pallas_fused: bool = False, refine_trips: int = 4):
         """``precision``:
 
         * ``"f64"`` (default) — the reference-exact f64 LM loop;
@@ -99,8 +100,23 @@ class BatchSolver:
         lanes the short coarse phase leaves unconverged are finished (or
         honestly reported unconverged) by the refinement's budget. Falls
         back to the XLA coarse phase when the batch size does not tile.
+
+        ``pallas_fused`` (mixed only, small topologies whose kernels all
+        have double-single variants, ``ops.ds.DS_KERNELS``): run BOTH
+        phases in one Pallas kernel — the f32 coarse LM and then
+        ``refine_trips`` double-single (two-float) LM iterations to the
+        full 1e-8 tolerance, entirely in VMEM. Eliminates the XLA
+        refinement's emulated-f64 residual passes; convergence and
+        per-constraint satisfaction are verified in double-single
+        arithmetic (~1e-12 absolute at coordinate scale 1e3). Falls back
+        to ``pallas_coarse`` behavior when the topology has non-DS
+        kernels and to the XLA path when the batch does not tile.
         """
         assert precision in ("f64", "mixed"), precision
+        if pallas_fused:
+            assert precision == "mixed", "pallas_fused requires precision='mixed'"
+            assert batch_params, "pallas_fused requires batch_params=True"
+            pallas_coarse = True  # shared eligibility checks + fallback
         if pallas_coarse:
             assert precision == "mixed", "pallas_coarse requires precision='mixed'"
             assert batch_params, "pallas_coarse requires batch_params=True"
@@ -110,6 +126,9 @@ class BatchSolver:
         self.precision = precision
         self.pallas_coarse = pallas_coarse
         self.pallas_trips = pallas_trips
+        self.pallas_fused = pallas_fused
+        self.refine_trips = refine_trips
+        self._fused_runs: dict = {}
         self._pallas_runs: dict = {}
         self._analysis_run = None
         max_iterations = config.max_iterations
@@ -232,8 +251,69 @@ class BatchSolver:
         self._pallas_runs[B] = run
         return run
 
+    def _pallas_fused_run(self, B: int):
+        """Per-batch-size cached fused (coarse + double-single refine)
+        kernel. Returns None when the batch doesn't tile, the topology is
+        too large, or a kernel lacks a DS variant (-> coarse/XLA fallback)."""
+        if B in self._fused_runs:
+            return self._fused_runs[B]
+        from .ops.pallas_fleet import (
+            _ds_instance_list,
+            make_fused_fleet_solver,
+            pack_fleet_ds,
+            unpack_rows,
+        )
+
+        n_instances = sum(int(b.idx.shape[0]) for b in self.system.blocks)
+        tile = self._pick_tile(B)
+        if (tile is None or not (0 < n_instances <= UNROLL_MAX_INSTANCES)
+                or _ds_instance_list(self._system32) is None):
+            self._fused_runs[B] = None
+            return None
+
+        c = self.config
+        kernel_run = make_fused_fleet_solver(
+            self._system32,
+            min(self.pallas_trips, c.max_iterations),
+            self.refine_trips,
+            c.max_iterations,
+            5e-6,  # coarse tolerance: just above f32 round-off for O(1) coords
+            float(c.residual_tolerance),
+            max(float(c.step_tolerance), 1e-7),  # coarse: f32 step noise floor
+            float(c.step_tolerance),
+            float(c.initial_lambda),
+            tile=tile,
+            interpret=(jax.default_backend() != "tpu"),
+        )
+
+        def run(x0, pars):
+            from .ops.ds import join_f64
+
+            xhi_p, xlo_p, parhi_p, parlo_p = pack_fleet_ds(
+                jnp.asarray(x0, jnp.float64), self._system32, pars)
+            xhp, xlp, itp, convp, satp, degp = kernel_run(
+                xhi_p, xlo_p, parhi_p, parlo_p)
+            x = join_f64(unpack_rows(xhp), unpack_rows(xlp))  # (B, n) f64
+            its = unpack_rows(itp)[:, 0]
+            conv = unpack_rows(convp)[:, 0] > 0
+            sat = unpack_rows(satp).astype(jnp.bool_)   # (B, n_cons)
+            deg = unpack_rows(degp).astype(jnp.bool_)
+            return x, its, conv, sat, deg
+
+        run = jax.jit(run)
+        self._fused_runs[B] = run
+        return run
+
     def solve(self, x0: jnp.ndarray, pars: Optional[Tuple] = None) -> BatchResult:
         c = self.config
+        if self.pallas_fused:
+            fused = self._pallas_fused_run(int(x0.shape[0]))
+            if fused is not None:
+                x, its, conv, sat, deg = fused(jnp.asarray(x0), pars)
+                return BatchResult(
+                    x=x, iterations=its, converged=conv,
+                    satisfied=sat, degenerate=deg,
+                )
         if self.pallas_coarse:
             coarse = self._pallas_coarse_run(int(x0.shape[0]))
             if coarse is not None:

@@ -94,11 +94,17 @@ def _residual_rows(system32, instances, xrows, pars_t, shape):
     return rows, deg
 
 
-def _jac_rows(system32, instances, xrows, pars_t, shape):
+def _jac_rows(system32, instances, xrows, pars_t, shape, rhs_rows=None):
     """Residual rows + JtJ/Jtr as lists of (SUB, C) blocks + deg rows.
 
     Jacobian columns via jvp with one-hot tangents; contractions unroll
     over the tiny residual dimension — everything stays elementwise.
+
+    ``rhs_rows``: optional weighted residual rows (same order as the
+    returned ``rows``) to use for the Jtr contraction instead of the f32
+    evaluation at ``xrows`` — the refinement phase passes its
+    double-single residual here (an f32 re-evaluation at the refined point
+    is pure cancellation noise).
     """
     n = system32.n_vars
     zero = jnp.zeros(shape, jnp.float32)
@@ -107,6 +113,7 @@ def _jac_rows(system32, instances, xrows, pars_t, shape):
     jtr = [zero for _ in range(n)]
     rows: List = []
     deg = [None] * system32.n_constraints
+    row_at = 0
 
     for fn, ids, bi, i, pk, w, cid in instances:
         nv = len(ids)
@@ -122,7 +129,11 @@ def _jac_rows(system32, instances, xrows, pars_t, shape):
             _, (dres, _ddg) = jax.jvp(lambda vv: fn(vv, p), (v,), (tangent,))
             cols.append(dres)
 
-        wres = [res[d] * w for d in range(dim)]
+        if rhs_rows is None:
+            wres = [res[d] * w for d in range(dim)]
+        else:
+            wres = [rhs_rows[row_at + d] for d in range(dim)]
+        row_at += dim
         rows.extend(wres)
         for a, ga in enumerate(ids):
             acc = (cols[a][0] * w) * wres[0]
@@ -373,6 +384,387 @@ def make_coarse_fleet_solver(
     return run
 
 
+# -- double-single fused kernel ----------------------------------------------
+#
+# The coarse+refine split above leaves the refinement on the XLA path,
+# whose two mandatory emulated-f64 residual passes dominate the mixed
+# headline runtime. When every kernel in the topology has a double-single
+# variant (ops.ds.DS_KERNELS), the refinement can run INSIDE the Pallas
+# kernel: x carried as an (hi, lo) f32 pair (~49-bit precision), residuals
+# evaluated with error-free transformations, Jacobians/steps in plain f32
+# at the hi part (the step only needs relative accuracy), LM accept/reject
+# on the double-single |r|^2. One VMEM round trip for the whole solve.
+
+
+def _ds_instance_list(system32: CompiledSystem):
+    """Like ``_instance_list`` but with the DS kernel fn and the weight as
+    an (hi, lo) np.float32 pair. Returns None if any kernel lacks a DS
+    variant (caller falls back to the XLA refinement)."""
+    from .ds import DS_KERNELS
+
+    out = []
+    for bi, b in enumerate(system32.blocks):
+        dsfn = DS_KERNELS.get(b.spec.name)
+        if dsfn is None:
+            return None
+        pk = int(b.par.shape[1])
+        for i in range(b.idx.shape[0]):
+            w64 = float(b.weight[i])
+            wh = np.float32(w64)
+            wl = np.float32(w64 - float(wh))
+            out.append((
+                dsfn,
+                [int(j) for j in b.idx[i]],
+                bi, i, pk, (wh, wl),
+                int(b.cid[i]),
+            ))
+    return out
+
+
+def _ds_weight(pair, wh, wl):
+    """Weighted DS residual row; exact when the weight is 1.0."""
+    from .ds import ds_mul, quick_two_sum
+
+    if float(wh) == 1.0 and float(wl) == 0.0:
+        return pair
+    hi, lo = pair
+    w = (jnp.full_like(hi, wh), jnp.full_like(hi, wl))
+    return ds_mul(pair, w)
+
+
+def _ds_residual_rows(system32, ds_instances, xhi, xlo, parhi_t, parlo_t,
+                      shape):
+    """Weighted DS residual rows (list of (hi, lo) pairs, same order as
+    ``_residual_rows``) + per-constraint degenerate + per-constraint
+    unweighted satisfaction (max |row| < 1e-4, lib.rs:358)."""
+    rows: List = []
+    deg = [None] * system32.n_constraints
+    worst = [None] * system32.n_constraints
+    for dsfn, ids, bi, i, pk, (wh, wl), cid in ds_instances:
+        v = [(xhi[j], xlo[j]) for j in ids]
+        p_hi = _inst_params(parhi_t, bi, i, pk)
+        p_lo = _inst_params(parlo_t, bi, i, pk)
+        p = list(zip(p_hi, p_lo))
+        res, dg = dsfn(v, p)
+        dg = jnp.broadcast_to(dg, shape)
+        for pair in res:
+            a = jnp.abs(pair[0] + pair[1])
+            worst[cid] = a if worst[cid] is None else jnp.maximum(worst[cid], a)
+            rows.append(_ds_weight(pair, wh, wl))
+        deg[cid] = dg if deg[cid] is None else (deg[cid] | dg)
+    deg = [d if d is not None else jnp.zeros(shape, jnp.bool_) for d in deg]
+    sat = [jnp.ones(shape, jnp.bool_) if w is None else (w < np.float32(1e-4))
+           for w in worst]
+    return rows, deg, sat
+
+
+def _ds_rows_max_abs(rows):
+    m = jnp.abs(rows[0][0] + rows[0][1])
+    for r in rows[1:]:
+        m = jnp.maximum(m, jnp.abs(r[0] + r[1]))
+    return m
+
+
+def _ds_rows_sumsq(rows):
+    from .ds import ds_add, ds_mul
+
+    s = ds_mul(rows[0], rows[0])
+    for r in rows[1:]:
+        s = ds_add(s, ds_mul(r, r))
+    return s
+
+
+def make_fused_fleet_solver(
+    system32: CompiledSystem,
+    coarse_trips: int,
+    refine_trips: int,
+    max_iterations: int,
+    coarse_tolerance: float,
+    residual_tolerance: float,
+    coarse_step_tolerance: float,
+    step_tolerance: float,
+    initial_lambda: float,
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+):
+    """Build the fully-fused mixed-precision fleet solver:
+
+        run(xhi_p, xlo_p, parhi_p, parlo_p)
+            -> (xhi', xlo', iterations, converged, sat, deg)
+
+    Phase 1 = the f32 coarse LM (identical semantics to
+    ``make_coarse_fleet_solver``); phase 2 = ``refine_trips`` double-single
+    LM iterations at the 1e-8 tolerance, with the per-lane refine budget
+    clipped so coarse + refine never exceeds ``max_iterations``
+    (mirroring ``solver.solve_lm_refine``). ``converged`` is the final
+    double-single residual verification (~1e-12 absolute accuracy at
+    coordinate scale 1e3); ``sat`` is per-constraint 1e-4 satisfaction
+    from the same evaluation. Requires every kernel to have a DS variant
+    (``_ds_instance_list`` returns non-None).
+    """
+    from .ds import ds_add
+
+    assert system32.dtype == jnp.float32, system32.dtype
+    assert tile % (128 * SUB) == 0, tile
+    n = system32.n_vars
+    n_cons = system32.n_constraints
+    instances = _instance_list(system32)
+    ds_instances = _ds_instance_list(system32)
+    assert ds_instances is not None, "topology has kernels without DS variants"
+    shapes = [(int(b.idx.shape[0]), int(b.par.shape[1])) for b in system32.blocks]
+    ctol = np.float32(coarse_tolerance)
+    rtol = np.float32(residual_tolerance)
+    cstol = np.float32(coarse_step_tolerance)
+    stol = np.float32(step_tolerance)
+    lam0 = np.float32(initial_lambda)
+    lam_decr = np.float32(LM_LAMBDA_DECR)
+    lam_incr = np.float32(LM_LAMBDA_INCR)
+    max_it = np.int32(max_iterations)
+
+    def row(F, i):
+        return F[i * SUB:(i + 1) * SUB]
+
+    def kernel(xhi_ref, xlo_ref, *rest):
+        parhi_refs = rest[: len(shapes)]
+        parlo_refs = rest[len(shapes): 2 * len(shapes)]
+        (xhi_out, xlo_out, it_ref, conv_ref, sat_ref, deg_ref) = rest[
+            2 * len(shapes):]
+
+        XH = xhi_ref[:]
+        XL = xlo_ref[:]
+        C = XH.shape[1]
+        shape = (SUB, C)
+        parhi_t = [ref[:] for ref in parhi_refs]
+        parlo_t = [ref[:] for ref in parlo_refs]
+        x0rows = [row(XH, j) for j in range(n)]
+        x0lo = [row(XL, j) for j in range(n)]
+
+        # ---- phase 1: f32 coarse LM (semantics of make_coarse_fleet_solver)
+        r0_rows, deg0 = _residual_rows(system32, instances, x0rows, parhi_t,
+                                       shape)
+        m = len(r0_rows)
+        F0 = jnp.concatenate(
+            x0rows + r0_rows
+            + [_rows_sumsq(r0_rows), jnp.full(shape, lam0, jnp.float32)],
+            axis=0,
+        )
+        I0 = jnp.concatenate(
+            [jnp.zeros((3 * SUB, C), jnp.int32)]
+            + [d.astype(jnp.int32) for d in deg0],
+            axis=0,
+        )
+
+        def unpack(F, I):
+            xrows = [row(F, j) for j in range(n)]
+            r = [row(F, n + i) for i in range(m)]
+            r2 = row(F, n + m)
+            lam = row(F, n + m + 1)
+            it = row(I, 0)
+            iterations = row(I, 1)
+            done = row(I, 2) > 0
+            deg = [row(I, 3 + i) for i in range(n_cons)]
+            return xrows, r, r2, lam, it, iterations, done, deg
+
+        def coarse_body(carry):
+            F, I = carry
+            xrows, r0_, r2_0, lam_0, it_0, iters_0, done_0, deg_0 = unpack(F, I)
+            rinf = _rows_max_abs(r0_)
+            res_now = (rinf <= ctol) & ~done_0
+            act = ~done_0 & ~res_now
+
+            _rows, jtj, jtr, deg_j = _jac_rows(
+                system32, instances, xrows, parhi_t, rinf.shape
+            )
+            for i in range(n):
+                jtj[i][i] = jtj[i][i] + lam_0
+            d_rows, fail = _chol_solve_rows(jtj, [-t for t in jtr])
+            step_inf = _rows_max_abs(d_rows)
+
+            x_new = [xr + dr for xr, dr in zip(xrows, d_rows)]
+            r_new, deg_r = _residual_rows(
+                system32, instances, x_new, parhi_t, rinf.shape
+            )
+            r2_new = _rows_sumsq(r_new)
+            accept = (~fail) & (r2_new < r2_0)
+
+            take = act & accept
+            x_out = [jnp.where(take, xn, xo) for xn, xo in zip(x_new, xrows)]
+            r_out = [jnp.where(take, rn, ro) for rn, ro in zip(r_new, r0_)]
+            r2 = jnp.where(take, r2_new, r2_0)
+            lam = jnp.where(
+                act,
+                jnp.where(accept, lam_0 * lam_decr, lam_0 * lam_incr),
+                lam_0,
+            )
+            deg = [
+                dj | ((act & (dgj | dgr)).astype(jnp.int32))
+                for dj, dgj, dgr in zip(deg_0, deg_j, deg_r)
+            ]
+            step_conv = act & (~fail) & (step_inf <= cstol)
+            done = done_0 | res_now | step_conv
+            iterations = jnp.where(res_now | step_conv, it_0, iters_0)
+            it = jnp.where(act, it_0 + 1, it_0)
+
+            F_out = jnp.concatenate(x_out + r_out + [r2, lam], axis=0)
+            I_out = jnp.concatenate(
+                [it, iterations, done.astype(jnp.int32)] + deg, axis=0
+            )
+            return (F_out, I_out)
+
+        F_c, I_c = jax.lax.fori_loop(
+            0, coarse_trips, lambda _k, c: coarse_body(c), (F0, I0)
+        )
+        xc, rc_, _r2c, lam_c, it_c, iters_c, done_c, deg_c = unpack(F_c, I_c)
+        res_conv_c = _rows_max_abs(rc_) <= ctol
+        coarse_its = jnp.where(
+            done_c,
+            iters_c,
+            jnp.where(res_conv_c, it_c, jnp.full_like(it_c, coarse_trips)),
+        )
+        # Per-lane refine budget: coarse + refine <= max_iterations
+        # (solve_lm_refine's refine_limit clip). Explicit min/max:
+        # jnp.clip's ufunc dispatch recurses under the Pallas TPU tracer.
+        refine_limit = jnp.minimum(
+            jnp.maximum(max_it - coarse_its, np.int32(0)),
+            np.int32(refine_trips),
+        )
+
+        # ---- phase 2: double-single LM refinement ----
+        # Carry F: [x_hi(n) | x_lo(n) | r_hi(m) | r_lo(m) | r2_hi | r2_lo | lam]
+        #       I: [ref_count | done | deg(n_cons)]
+        r_ds0, deg_ds0, _sat0 = _ds_residual_rows(
+            system32, ds_instances, xc, x0lo, parhi_t, parlo_t, shape)
+        r2_ds0 = _ds_rows_sumsq(r_ds0)
+        Fr0 = jnp.concatenate(
+            xc + x0lo + [p[0] for p in r_ds0] + [p[1] for p in r_ds0]
+            + [r2_ds0[0], r2_ds0[1], lam_c], axis=0)
+        Ir0 = jnp.concatenate(
+            [jnp.zeros((2 * SUB, C), jnp.int32)]
+            + [dc | d.astype(jnp.int32) for dc, d in zip(deg_c, deg_ds0)],
+            axis=0)
+
+        def unpack_r(F, I):
+            xhi = [row(F, j) for j in range(n)]
+            xlo = [row(F, n + j) for j in range(n)]
+            r = [(row(F, 2 * n + i), row(F, 2 * n + m + i)) for i in range(m)]
+            r2 = (row(F, 2 * n + 2 * m), row(F, 2 * n + 2 * m + 1))
+            lam = row(F, 2 * n + 2 * m + 2)
+            cnt = row(I, 0)
+            done = row(I, 1) > 0
+            deg = [row(I, 2 + i) for i in range(n_cons)]
+            return xhi, xlo, r, r2, lam, cnt, done, deg
+
+        def refine_body(carry):
+            F, I = carry
+            xhi, xlo, r_ds, r2_ds, lam_0, cnt_0, done_0, deg_0 = unpack_r(F, I)
+            rinf = _ds_rows_max_abs(r_ds)
+            res_now = (rinf <= rtol) & ~done_0
+            act = ~done_0 & ~res_now & (cnt_0 < refine_limit)
+
+            # f32 Jacobian at the hi part; Jtr against the DS residual
+            # (rounded to f32 — the correction only needs relative accuracy).
+            rhs32 = [p[0] + p[1] for p in r_ds]
+            _rw, jtj, jtr, deg_j = _jac_rows(
+                system32, instances, xhi, parhi_t, shape, rhs_rows=rhs32)
+            for i in range(n):
+                jtj[i][i] = jtj[i][i] + lam_0
+            d_rows, fail = _chol_solve_rows(jtj, [-t for t in jtr])
+            step_inf = _rows_max_abs(d_rows)
+
+            x_new = [ds_add((h, l), (d, jnp.zeros_like(d)))
+                     for h, l, d in zip(xhi, xlo, d_rows)]
+            r_new, deg_r, _sat = _ds_residual_rows(
+                system32, ds_instances, [p[0] for p in x_new],
+                [p[1] for p in x_new], parhi_t, parlo_t, shape)
+            r2_new = _ds_rows_sumsq(r_new)
+            # DS compare: r2_new < r2_ds.
+            accept = (~fail) & (
+                (r2_new[0] < r2_ds[0])
+                | ((r2_new[0] == r2_ds[0]) & (r2_new[1] < r2_ds[1]))
+            )
+
+            take = act & accept
+            xhi_o = [jnp.where(take, xn[0], xo) for xn, xo in zip(x_new, xhi)]
+            xlo_o = [jnp.where(take, xn[1], xo) for xn, xo in zip(x_new, xlo)]
+            r_o = [(jnp.where(take, rn[0], ro[0]), jnp.where(take, rn[1], ro[1]))
+                   for rn, ro in zip(r_new, r_ds)]
+            r2_o = (jnp.where(take, r2_new[0], r2_ds[0]),
+                    jnp.where(take, r2_new[1], r2_ds[1]))
+            lam = jnp.where(
+                act,
+                jnp.where(accept, lam_0 * lam_decr, lam_0 * lam_incr),
+                lam_0,
+            )
+            deg = [
+                dj | ((act & (dgj | dgr)).astype(jnp.int32))
+                for dj, dgj, dgr in zip(deg_0, deg_j, deg_r)
+            ]
+            step_conv = act & (~fail) & (step_inf <= stol)
+            done = done_0 | res_now | step_conv
+            cnt = jnp.where(act, cnt_0 + 1, cnt_0)
+
+            F_out = jnp.concatenate(
+                xhi_o + xlo_o + [p[0] for p in r_o] + [p[1] for p in r_o]
+                + [r2_o[0], r2_o[1], lam], axis=0)
+            I_out = jnp.concatenate(
+                [cnt, done.astype(jnp.int32)] + deg, axis=0)
+            return (F_out, I_out)
+
+        Fr, Ir = jax.lax.fori_loop(
+            0, refine_trips, lambda _k, c: refine_body(c), (Fr0, Ir0))
+        xhi_f, xlo_f, r_f, _r2f, _lamf, cnt_f, done_f, deg_f = unpack_r(Fr, Ir)
+        # Final verification + satisfaction from one last DS evaluation at
+        # the final point (boundary_parity=False semantics: converged is a
+        # pure verification statement).
+        r_fin, deg_fin, sat_fin = _ds_residual_rows(
+            system32, ds_instances, xhi_f, xlo_f, parhi_t, parlo_t, shape)
+        converged = (_ds_rows_max_abs(r_fin) <= rtol) | done_f
+
+        xhi_out[:] = jnp.concatenate(xhi_f, axis=0)
+        xlo_out[:] = jnp.concatenate(xlo_f, axis=0)
+        it_ref[:] = coarse_its + cnt_f
+        conv_ref[:] = converged.astype(jnp.int32)
+        sat_ref[:] = jnp.concatenate(
+            [s.astype(jnp.int32) for s in sat_fin], axis=0)
+        deg_ref[:] = jnp.concatenate(
+            [d | dn.astype(jnp.int32) for d, dn in zip(deg_f, deg_fin)],
+            axis=0)
+
+    def run(xhi_p, xlo_p, parhi_p, parlo_p):
+        Cfull = xhi_p.shape[1]
+        tile_c = tile // SUB
+        assert Cfull % tile_c == 0, (Cfull * SUB, tile)
+        grid = (Cfull // tile_c,)
+
+        def col_spec(rows):
+            return pl.BlockSpec((rows, tile_c), lambda i: (np.int32(0), i),
+                                memory_space=pltpu.VMEM)
+
+        par_specs = [col_spec(max(nk * pk, 1) * SUB) for nk, pk in shapes]
+        in_specs = [col_spec(n * SUB), col_spec(n * SUB)] + par_specs + par_specs
+        out_shape = (
+            jax.ShapeDtypeStruct((n * SUB, Cfull), jnp.float32),
+            jax.ShapeDtypeStruct((n * SUB, Cfull), jnp.float32),
+            jax.ShapeDtypeStruct((SUB, Cfull), jnp.int32),
+            jax.ShapeDtypeStruct((SUB, Cfull), jnp.int32),
+            jax.ShapeDtypeStruct((n_cons * SUB, Cfull), jnp.int32),
+            jax.ShapeDtypeStruct((n_cons * SUB, Cfull), jnp.int32),
+        )
+        out_specs = (col_spec(n * SUB), col_spec(n * SUB), col_spec(SUB),
+                     col_spec(SUB), col_spec(n_cons * SUB),
+                     col_spec(n_cons * SUB))
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            out_shape=out_shape,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            interpret=interpret,
+        )(xhi_p, xlo_p, *parhi_p, *parlo_p)
+
+    return run
+
+
 # -- host-side packing --------------------------------------------------------
 
 
@@ -393,6 +785,30 @@ def unpack_rows(p: jnp.ndarray, dtype=None) -> jnp.ndarray:
     k = kS // SUB
     out = jnp.transpose(p.reshape(k, SUB, C), (1, 2, 0)).reshape(SUB * C, k)
     return out if dtype is None else out.astype(dtype)
+
+
+def pack_fleet_ds(x0_64: jnp.ndarray, system32: CompiledSystem, pars64):
+    """f64 batch-major inputs -> double-single packed kernel layout.
+
+    ``x0_64``: (B, n_vars) f64; ``pars64``: tuple of (B, n_k, p_k) f64.
+    Returns (xhi_p, xlo_p, parhi_p, parlo_p).
+    """
+    from .ds import split_f64
+
+    xh, xl = split_f64(x0_64)
+    parhi, parlo = [], []
+    for b, p in zip(system32.blocks, pars64):
+        B = p.shape[0]
+        nk, pk = int(b.idx.shape[0]), int(b.par.shape[1])
+        if nk * pk == 0:
+            z = jnp.zeros((SUB, B // SUB), jnp.float32)
+            parhi.append(z)
+            parlo.append(z)
+        else:
+            ph, plo = split_f64(jnp.asarray(p, jnp.float64).reshape(B, nk * pk))
+            parhi.append(pack_rows(ph))
+            parlo.append(pack_rows(plo))
+    return pack_rows(xh), pack_rows(xl), tuple(parhi), tuple(parlo)
 
 
 def pack_fleet(x0: jnp.ndarray, system32: CompiledSystem, pars):

@@ -1,0 +1,184 @@
+"""Double-single arithmetic (ops/ds.py) + the fused Pallas fleet solver
+(coarse f32 + in-kernel DS refinement, interpret mode on CPU).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import ezpz_tpu  # noqa: F401
+from ezpz_tpu.batch import BatchSolver
+from ezpz_tpu.config import Config
+from ezpz_tpu.constraints import Constraint
+from ezpz_tpu.datatypes import DatumLineSegment, DatumPoint
+from ezpz_tpu.models.compiled import compile_system
+from ezpz_tpu.ops import ds as D
+
+from .test_unrolled_pallas import _mixed_system
+
+
+# -- primitives ---------------------------------------------------------------
+
+
+def test_ds_add_mul_sqrt_accuracy():
+    rng = np.random.default_rng(0)
+    a64 = rng.uniform(-600, 600, 512)
+    b64 = rng.uniform(-600, 600, 512)
+    a = D.split_f64(a64)
+    b = D.split_f64(b64)
+    assert np.max(np.abs(np.asarray(D.join_f64(*a)) - a64)) < 1e-11
+    s = D.ds_add(a, b)
+    assert np.max(np.abs(np.asarray(D.join_f64(*s)) - (a64 + b64))) < 1e-10
+    m = D.ds_mul(a, b)
+    rel = np.abs(np.asarray(D.join_f64(*m)) - a64 * b64) / np.abs(a64 * b64)
+    assert np.max(rel) < 1e-13
+    q = D.split_f64(np.abs(a64))
+    r = D.ds_sqrt(q)
+    rel = np.abs(np.asarray(D.join_f64(*r)) - np.sqrt(np.abs(a64)))
+    assert np.max(rel / np.sqrt(np.abs(a64))) < 1e-13
+
+
+def test_ds_distance_kernel_large_coordinates():
+    """|p0-p1| - d evaluated at coordinate scale 600 stays accurate to
+    ~1e-11 absolute — the regime where plain f32 has ~4e-5 error."""
+    rng = np.random.default_rng(1)
+    x0 = rng.uniform(-600, 600, 256)
+    y0 = rng.uniform(-600, 600, 256)
+    x1 = x0 + rng.uniform(-5, 5, 256)
+    y1 = y0 + rng.uniform(-5, 5, 256)
+    d = np.hypot(x0 - x1, y0 - y1) + rng.uniform(-1e-9, 1e-9, 256)
+    v = [D.split_f64(t) for t in (x0, y0, x1, y1)]
+    rows, deg = D.dsk_distance(v, [D.split_f64(d)])
+    res = np.asarray(D.join_f64(*rows[0]))
+    ref = np.hypot(x0 - x1, y0 - y1) - d
+    assert np.max(np.abs(res - ref)) < 1e-10
+    assert not bool(np.asarray(deg).any())
+
+
+def test_ds_kernels_match_f64_kernels():
+    """Every DS kernel variant agrees with its f64 kernel on random inputs
+    (the DS analog of the FD-vs-autodiff invariant)."""
+    from ezpz_tpu.ops.ds import DS_KERNELS
+    from ezpz_tpu.ops.kernels import KERNELS
+
+    rng = np.random.default_rng(2)
+    for name, dsfn in DS_KERNELS.items():
+        spec = KERNELS[name]
+        v64 = [rng.uniform(-50, 50, 64) for _ in range(spec.nvars)]
+        p64 = [rng.uniform(0.5, 20, 64) for _ in range(spec.nparams)]
+        ref, _deg = jax.vmap(
+            lambda *a: spec.fn(a[: spec.nvars], a[spec.nvars:])
+        )(*[jnp.asarray(t) for t in (v64 + p64)])
+        rows, _dg = dsfn([D.split_f64(t) for t in v64],
+                         [D.split_f64(t) for t in p64])
+        assert len(rows) == spec.dim, name
+        for di in range(spec.dim):
+            got = np.asarray(D.join_f64(*rows[di]))
+            np.testing.assert_allclose(got, np.asarray(ref)[:, di],
+                                       atol=1e-10, err_msg=name)
+
+
+# -- the fused solver ---------------------------------------------------------
+
+
+def _pars_for(system, B):
+    return tuple(
+        jnp.asarray(np.tile(np.asarray(b.par), (B, 1, 1)))
+        for b in system.blocks
+    )
+
+
+def test_fused_matches_mixed_path():
+    system = _mixed_system()
+    B = 1024
+    rng = np.random.default_rng(3)
+    base = np.array([0.3, 0.1, 0.2, 3.3, 0.25, 3.2, 1.1])
+    x0 = jnp.asarray(np.tile(base, (B, 1)) + rng.normal(0, 0.02, (B, 7)))
+    pars = _pars_for(system, B)
+
+    fused = BatchSolver(system, Config(), batch_params=True,
+                        precision="mixed", pallas_fused=True)
+    out = fused.solve(x0, pars)
+    assert fused._fused_runs, "fused kernel should have been built"
+    assert list(fused._fused_runs.values())[0] is not None
+    assert bool(np.asarray(out.converged).all())
+    assert bool(np.asarray(out.satisfied).all())
+
+    ref = BatchSolver(system, Config(), batch_params=True,
+                      precision="mixed").solve(x0, pars)
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x), atol=1e-7)
+    # The DS refinement hits the true 1e-8 residual: against the pure-f64
+    # answer the solution is accurate to ~1e-8 coordinates.
+    f64 = BatchSolver(system, Config(), batch_params=True).solve(x0, pars)
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(f64.x), atol=1e-6)
+
+
+def test_fused_large_coordinates_reach_1e8():
+    """Coordinates of magnitude ~500: the f32 coarse phase alone cannot
+    reach 1e-8 (representation floor ~4e-5); the DS refinement must."""
+    p0, p1 = DatumPoint(0, 1), DatumPoint(2, 3)
+    cs = [
+        Constraint.Fixed(p0.x_id, 500.25),
+        Constraint.Fixed(p0.y_id, -317.5),
+        Constraint.Distance(p0, p1, 3.0),
+        Constraint.Vertical(DatumLineSegment(p0, p1)),
+    ]
+    system = compile_system(cs, n_vars=4)
+    B = 1024
+    rng = np.random.default_rng(4)
+    base = np.array([500.2, -317.4, 500.3, -314.6])
+    x0 = jnp.asarray(np.tile(base, (B, 1)) + rng.normal(0, 0.05, (B, 4)))
+    pars = _pars_for(system, B)
+
+    out = BatchSolver(system, Config(), batch_params=True, precision="mixed",
+                      pallas_fused=True).solve(x0, pars)
+    assert bool(np.asarray(out.converged).all())
+    assert bool(np.asarray(out.satisfied).all())
+    # True f64 residual of the fused answers meets the 1e-8 tolerance.
+    r, _deg = jax.vmap(lambda x, *p: system.residual_and_flags(x, p))(
+        jnp.asarray(out.x, jnp.float64), *pars)
+    assert float(jnp.max(jnp.abs(r))) <= 1e-8
+
+
+def test_fused_falls_back_without_ds_kernels():
+    """A topology with a kernel outside DS_KERNELS silently uses the
+    coarse+XLA-refine path instead."""
+    from ezpz_tpu.datatypes import Angle, AngleKind
+
+    line = DatumLineSegment(DatumPoint(0, 1), DatumPoint(2, 3))
+    line2 = DatumLineSegment(DatumPoint(4, 5), DatumPoint(6, 7))
+    cs = [
+        Constraint.Fixed(0, 0.0), Constraint.Fixed(1, 0.0),
+        Constraint.Fixed(2, 0.0), Constraint.Fixed(3, 2.0),
+        Constraint.Fixed(4, 1.0), Constraint.Fixed(5, 0.0),
+        Constraint.Fixed(7, 2.0),
+        Constraint.LinesAtAngle(line, line2, AngleKind.Parallel, None),
+    ]
+    system = compile_system(cs, n_vars=8)
+    B = 1024
+    x0 = jnp.asarray(np.tile(
+        np.array([0.1, -0.1, 0.05, 2.1, 1.0, 0.0, 1.1, 2.05]), (B, 1)))
+    pars = _pars_for(system, B)
+    solver = BatchSolver(system, Config(), batch_params=True,
+                         precision="mixed", pallas_fused=True)
+    out = solver.solve(x0, pars)
+    assert solver._fused_runs[B] is None  # fell back
+    assert bool(np.asarray(out.converged).all())
+
+
+def test_fused_degenerate_flags():
+    p0, p1 = DatumPoint(0, 1), DatumPoint(2, 3)
+    cs = [
+        Constraint.Fixed(p0.x_id, 0.0),
+        Constraint.Fixed(p0.y_id, 0.0),
+        Constraint.Distance(p0, p1, 2.0),
+    ]
+    system = compile_system(cs, n_vars=4)
+    B = 1024
+    x0 = jnp.asarray(np.zeros((B, 4)))  # p1 exactly on p0: degenerate
+    pars = _pars_for(system, B)
+    out = BatchSolver(system, Config(), batch_params=True, precision="mixed",
+                      pallas_fused=True).solve(x0, pars)
+    deg = np.asarray(out.degenerate)
+    assert deg[:, 2].all()
+    assert not deg[:, 0].any() and not deg[:, 1].any()
