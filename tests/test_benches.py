@@ -42,6 +42,17 @@ def test_scaling_bench_runs():
     assert len(set(iters.values())) == 1, iters
 
 
+def test_coupled_bench_runs():
+    proc = _run(["benches/coupled_bench.py", "--cpu", "--lines", "12",
+                 "--copies", "2", "--reps", "1"])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rec = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][0])
+    assert rec["metric"] == "coupled_system_solves_per_sec"
+    assert rec["value"] > 0
+    assert rec["detail"]["n_boundary"] > 0  # genuinely coupled
+    assert rec["detail"]["final_residual_inf"] <= 1e-8
+
+
 def test_scaling_artifact_is_current():
     """SCALING_r02.json (the committed weak-scaling artifact) must match the
     bench's output schema, so the recorded curve can't silently bitrot."""
