@@ -25,9 +25,24 @@ Numerics default to float64 (x64 mode is enabled on import) to hit the
 reference's 1e-8 residual tolerance.
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Sanitizer analog (SURVEY.md section 5): the reference has no threads so no
+# race detection to mirror; the numerical equivalent here is JAX's NaN
+# debugger — EZPZ_TPU_DEBUG_NANS=1 makes every jit-compiled solve re-run
+# op-by-op and raise at the FIRST operation that produces a NaN (instead of
+# the NaN flowing into a rejected LM step), pinpointing the kernel at fault.
+# Off by default: the solver's hot path uses NaN-on-non-SPD as its
+# factorization-failure signal, so this mode is for debugging kernels, not
+# production. EZPZ_TPU_DEBUG_INFS=1 is the matching Inf hook.
+if _os.environ.get("EZPZ_TPU_DEBUG_NANS", "") not in ("", "0"):
+    _jax.config.update("jax_debug_nans", True)
+if _os.environ.get("EZPZ_TPU_DEBUG_INFS", "") not in ("", "0"):
+    _jax.config.update("jax_debug_infs", True)
 
 from .config import Config
 from .constraints import (
