@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Callable, Dict, List, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 # Dekker split constant for f32 (24-bit mantissa): 2^12 + 1.
 _SPLIT = 4097.0
@@ -84,6 +85,17 @@ def ds_mul(a: DS, b: DS) -> DS:
     p, e = two_prod(a[0], b[0])
     e = e + a[0] * b[1] + a[1] * b[0]
     return quick_two_sum(p, e)
+
+
+def ds_div(a: DS, b: DS) -> DS:
+    """Long division with one remainder correction: q1 = a_hi/b_hi,
+    q2 = (a - q1*b)/b_hi."""
+    q1 = a[0] / b[0]
+    p, e = two_prod(q1, b[0])
+    # a - q1*b in DS (q1*b = (p + e) + q1*b_lo).
+    r_hi = ((a[0] - p) - e) + a[1] - q1 * b[1]
+    q2 = r_hi / b[0]
+    return quick_two_sum(q1, q2)
 
 
 def ds_sqrt(a: DS) -> DS:
@@ -186,6 +198,151 @@ def dsk_distance_var(v, p):
     return [r], deg
 
 
+def _ds_zero_like(t):
+    z = jnp.zeros_like(t)
+    return (z, z)
+
+
+def _ds_where(cond, a: DS, b: DS) -> DS:
+    return (jnp.where(cond, a[0], b[0]), jnp.where(cond, a[1], b[1]))
+
+
+def _ds_const(like, val: float) -> DS:
+    hi = jnp.full_like(like, val)
+    return (hi, jnp.zeros_like(hi))
+
+
+def _ds_norm2(dx: DS, dy: DS) -> DS:
+    return ds_add(ds_mul(dx, dx), ds_mul(dy, dy))
+
+
+def _safe_q(q: DS, deg) -> DS:
+    """Clamp tiny-negative rounding and sanitize degenerate lanes to 1.0
+    so sqrt/div never see a bad argument (value discarded on those lanes)."""
+    hi = jnp.where(deg, jnp.ones_like(q[0]), jnp.maximum(q[0], 0.0))
+    lo = jnp.where(deg | (q[0] <= 0.0), jnp.zeros_like(q[1]), q[1])
+    return (hi, lo)
+
+
+def dsk_lines_equal_length(v, p):
+    """|l0| - |l1| — true sqrt on every lane (matches k_lines_equal_length's
+    raw value; q >= 0 up to rounding)."""
+    q0 = _ds_norm2(ds_sub(v[0], v[2]), ds_sub(v[1], v[3]))
+    q1 = _ds_norm2(ds_sub(v[4], v[6]), ds_sub(v[5], v[7]))
+    deg = (q0[0] < _EPS2) | (q1[0] < _EPS2)
+    s0 = ds_sqrt((jnp.maximum(q0[0], 0.0), jnp.where(q0[0] > 0, q0[1], 0.0)))
+    s1 = ds_sqrt((jnp.maximum(q1[0], 0.0), jnp.where(q1[0] > 0, q1[1], 0.0)))
+    return [ds_sub(s0, s1)], deg
+
+
+def dsk_arc(v, p):
+    """|s-c| - |e-c| (k_arc)."""
+    q0 = _ds_norm2(ds_sub(v[0], v[4]), ds_sub(v[1], v[5]))
+    q1 = _ds_norm2(ds_sub(v[2], v[4]), ds_sub(v[3], v[5]))
+    deg = (q0[0] <= _EPS2) | (q1[0] <= _EPS2)
+    s0 = ds_sqrt((jnp.maximum(q0[0], 0.0), jnp.where(q0[0] > 0, q0[1], 0.0)))
+    s1 = ds_sqrt((jnp.maximum(q1[0], 0.0), jnp.where(q1[0] > 0, q1[1], 0.0)))
+    return [ds_sub(s0, s1)], deg
+
+
+def dsk_lines_at_angle(v, p):
+    """cross(u, R^-1 v) / ((|u|+|v|)/2); residual 0 on degenerate lanes
+    (k_lines_at_angle guards to 0.0)."""
+    ux, uy = ds_sub(v[2], v[0]), ds_sub(v[3], v[1])
+    vx, vy = ds_sub(v[6], v[4]), ds_sub(v[7], v[5])
+    s, c = p[0], p[1]
+    qu = _ds_norm2(ux, uy)
+    qv = _ds_norm2(vx, vy)
+    deg = (qu[0] <= _EPS2) | (qv[0] <= _EPS2)
+    lu = ds_sqrt(_safe_q(qu, deg))
+    lv = ds_sqrt(_safe_q(qv, deg))
+    rvx = ds_add(ds_mul(c, vx), ds_mul(s, vy))
+    rvy = ds_sub(ds_mul(c, vy), ds_mul(s, vx))
+    cross = ds_sub(ds_mul(ux, rvy), ds_mul(uy, rvx))
+    half = _ds_const(ux[0], 0.5)
+    res = ds_div(cross, ds_mul(ds_add(lu, lv), half))
+    return [_ds_where(deg, _ds_zero_like(res[0]), res)], deg
+
+
+def dsk_points_at_angle(v, p):
+    """(|u| v - |v| R u)/((|u|+|v|)/2), two rows (k_points_at_angle)."""
+    ux, uy = ds_sub(v[2], v[0]), ds_sub(v[3], v[1])
+    vx, vy = ds_sub(v[4], v[0]), ds_sub(v[5], v[1])
+    s, c = p[0], p[1]
+    qu = _ds_norm2(ux, uy)
+    qv = _ds_norm2(vx, vy)
+    deg = (qu[0] <= _EPS2) | (qv[0] <= _EPS2)
+    lu = ds_sqrt(_safe_q(qu, deg))
+    lv = ds_sqrt(_safe_q(qv, deg))
+    rux = ds_sub(ds_mul(c, ux), ds_mul(s, uy))
+    ruy = ds_add(ds_mul(s, ux), ds_mul(c, uy))
+    half = _ds_const(ux[0], 0.5)
+    scale = ds_mul(ds_add(lu, lv), half)
+    r0 = ds_div(ds_sub(ds_mul(vx, lu), ds_mul(rux, lv)), scale)
+    r1 = ds_div(ds_sub(ds_mul(vy, lu), ds_mul(ruy, lv)), scale)
+    z = _ds_zero_like(r0[0])
+    return [_ds_where(deg, z, r0), _ds_where(deg, z, r1)], deg
+
+
+def dsk_point_line_distance(v, p):
+    """(A px + B py + C)/hypot(A, B) - d; 0 on degenerate lanes."""
+    px, py, p0x, p0y, p1x, p1y = v
+    a = ds_sub(p0y, p1y)
+    b = ds_sub(p1x, p0x)
+    cc = ds_sub(ds_mul(p0x, p1y), ds_mul(p1x, p0y))
+    q = _ds_norm2(a, b)
+    deg = q[0] < _EPS2
+    denom = ds_sqrt(_safe_q(q, deg))
+    num = ds_add(ds_add(ds_mul(a, px), ds_mul(b, py)), cc)
+    res = ds_sub(ds_div(num, denom), p[0])
+    return [_ds_where(deg, _ds_zero_like(res[0]), res)], deg
+
+
+def dsk_vertical_point_line_distance(v, p):
+    """ay - py - (dy/dx)(ax - px) - d; 0 on degenerate lanes (vertical or
+    zero-length line)."""
+    ax, ay, px, py, qx, qy = v
+    dx, dy = ds_sub(qx, px), ds_sub(qy, py)
+    norm = _ds_norm2(dx, dy)
+    deg = (jnp.abs(dx[0] + dx[1]) <= np.float32(1e-4)) | (norm[0] <= _EPS2)
+    dx_s = _ds_where(deg, _ds_const(dx[0], 1.0), dx)
+    res = ds_sub(
+        ds_sub(ds_sub(ay, py), ds_mul(ds_div(dy, dx_s), ds_sub(ax, px))),
+        p[0])
+    return [_ds_where(deg, _ds_zero_like(res[0]), res)], deg
+
+
+def dsk_horizontal_point_line_distance(v, p):
+    ax, ay, px, py, qx, qy = v
+    dx, dy = ds_sub(qx, px), ds_sub(qy, py)
+    norm = _ds_norm2(dx, dy)
+    deg = (jnp.abs(dy[0] + dy[1]) <= np.float32(1e-4)) | (norm[0] <= _EPS2)
+    dy_s = _ds_where(deg, _ds_const(dy[0], 1.0), dy)
+    res = ds_sub(
+        ds_sub(ds_sub(ax, px), ds_mul(ds_div(dx, dy_s), ds_sub(ay, py))),
+        p[0])
+    return [_ds_where(deg, _ds_zero_like(res[0]), res)], deg
+
+
+def dsk_symmetric(v, p):
+    """reflect(a-p, q-p) - b + p, two rows (k_symmetric, incl. its
+    documented zero-guarded deviation from the reference's NaN)."""
+    px, py, qx, qy, ax, ay, bx, by = v
+    dx, dy = ds_sub(qx, px), ds_sub(qy, py)
+    r = _ds_norm2(dx, dy)
+    deg = (r[0] * r[0]) < np.float32(1e-4)
+    r_s = _ds_where(deg | (r[0] == 0.0), _ds_const(r[0], 1.0), r)
+    sx, sy = ds_sub(ax, px), ds_sub(ay, py)
+    dot = ds_add(ds_mul(sx, dx), ds_mul(sy, dy))
+    two = _ds_const(dx[0], 2.0)
+    scale = ds_div(ds_mul(two, dot), r_s)
+    refx = ds_sub(ds_mul(dx, scale), sx)
+    refy = ds_sub(ds_mul(dy, scale), sy)
+    r0 = ds_add(ds_sub(refx, bx), px)
+    r1 = ds_add(ds_sub(refy, by), py)
+    return [r0, r1], deg
+
+
 DS_KERNELS: Dict[str, Callable] = {
     "fixed": dsk_fixed,
     "vertical": dsk_vertical,
@@ -198,4 +355,12 @@ DS_KERNELS: Dict[str, Callable] = {
     "midpoint": dsk_midpoint,
     "distance": dsk_distance,
     "distance_var": dsk_distance_var,
+    "lines_equal_length": dsk_lines_equal_length,
+    "arc": dsk_arc,
+    "lines_at_angle": dsk_lines_at_angle,
+    "points_at_angle": dsk_points_at_angle,
+    "point_line_distance": dsk_point_line_distance,
+    "vertical_point_line_distance": dsk_vertical_point_line_distance,
+    "horizontal_point_line_distance": dsk_horizontal_point_line_distance,
+    "symmetric": dsk_symmetric,
 }

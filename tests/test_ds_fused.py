@@ -140,24 +140,57 @@ def test_fused_large_coordinates_reach_1e8():
     assert float(jnp.max(jnp.abs(r))) <= 1e-8
 
 
+def test_fused_square_fixture_topology():
+    """The `square` golden fixture's topology (lines_at_angle +
+    lines_equal_length + fixed/vertical/horizontal — exercises the
+    division/rotation DS kernels) solves as a fused fleet and matches the
+    plain mixed path."""
+    import os
+
+    from ezpz_tpu.textual import Problem
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    txt = open(os.path.join(here, "tests", "cases", "square", "problem.md")).read()
+    cs = Problem.from_str(txt).to_constraint_system()
+    constraints = [r.constraint for r in cs.constraints]
+    x0v = np.zeros(len(cs.initial_guesses))
+    for vid, val in cs.initial_guesses:
+        x0v[vid] = val
+    system = compile_system(constraints, len(x0v))
+    B = 1024
+    rng = np.random.default_rng(5)
+    x0 = jnp.asarray(np.tile(x0v, (B, 1)) + rng.normal(0, 1e-3, (B, len(x0v))))
+    pars = _pars_for(system, B)
+    fused = BatchSolver(system, Config(), batch_params=True,
+                        precision="mixed", pallas_fused=True)
+    out = fused.solve(x0, pars)
+    assert list(fused._fused_runs.values())[0] is not None, "should be DS-capable"
+    assert bool(np.asarray(out.converged).all())
+    assert bool(np.asarray(out.satisfied).all())
+    ref = BatchSolver(system, Config(), batch_params=True,
+                      precision="mixed").solve(x0, pars)
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x), atol=1e-6)
+
+
 def test_fused_falls_back_without_ds_kernels():
-    """A topology with a kernel outside DS_KERNELS silently uses the
+    """A topology with a kernel outside DS_KERNELS (tangency: smooth
+    piecewise side logic, no DS variant) silently uses the
     coarse+XLA-refine path instead."""
-    from ezpz_tpu.datatypes import Angle, AngleKind
+    from ezpz_tpu.datatypes import DatumCircle, DatumDistance
+    from ezpz_tpu.constraints import LineSide
 
     line = DatumLineSegment(DatumPoint(0, 1), DatumPoint(2, 3))
-    line2 = DatumLineSegment(DatumPoint(4, 5), DatumPoint(6, 7))
+    circle = DatumCircle(center=DatumPoint(4, 5), radius=DatumDistance(6))
     cs = [
         Constraint.Fixed(0, 0.0), Constraint.Fixed(1, 0.0),
         Constraint.Fixed(2, 0.0), Constraint.Fixed(3, 2.0),
-        Constraint.Fixed(4, 1.0), Constraint.Fixed(5, 0.0),
-        Constraint.Fixed(7, 2.0),
-        Constraint.LinesAtAngle(line, line2, AngleKind.Parallel, None),
+        Constraint.Fixed(4, 1.5), Constraint.Fixed(5, 1.0),
+        Constraint.LineTangentToCircle(line, circle, LineSide.Right),
     ]
-    system = compile_system(cs, n_vars=8)
+    system = compile_system(cs, n_vars=7)
     B = 1024
     x0 = jnp.asarray(np.tile(
-        np.array([0.1, -0.1, 0.05, 2.1, 1.0, 0.0, 1.1, 2.05]), (B, 1)))
+        np.array([0.1, -0.1, 0.05, 2.1, 1.4, 1.1, 1.4]), (B, 1)))
     pars = _pars_for(system, B)
     solver = BatchSolver(system, Config(), batch_params=True,
                          precision="mixed", pallas_fused=True)
