@@ -45,6 +45,11 @@ regen-massive-test N="2000":
 fuzz:
     EZPZ_TPU_FUZZ_EXAMPLES=2000 python -m pytest tests/test_fuzz.py -q
 
+# Line coverage over ezpz_tpu/ (the llvm-cov/codecov analog) — homegrown
+# sys.monitoring-based tool; no coverage package ships in this image.
+coverage *ARGS="tests/ -q":
+    python tools/coverage.py --json coverage.json {{ARGS}}
+
 # Mutation testing (the `just mutants` analog, reference justfile:107-110).
 # Self-contained AST mutator — no external tool. Targeted selections keep
 # each mutant's run fast; see tools/mutate.py for usage.
