@@ -98,6 +98,11 @@ def ds_div(a: DS, b: DS) -> DS:
     return quick_two_sum(q1, q2)
 
 
+def ds_abs(a: DS) -> DS:
+    neg = (a[0] + a[1]) < 0.0
+    return (jnp.where(neg, -a[0], a[0]), jnp.where(neg, -a[1], a[1]))
+
+
 def ds_sqrt(a: DS) -> DS:
     """sqrt with one DS Newton correction; a must be >= 0 (guard first).
     hi = sqrt_f32(a_hi); lo = (a - hi^2) / (2 hi)."""
@@ -343,6 +348,36 @@ def dsk_symmetric(v, p):
     return [r0, r1], deg
 
 
+def dsk_line_tangent_circle(v, p):
+    """side * cross(p1-p0, c-p0)/|p1-p0| - |r|; 0 on degenerate lanes."""
+    p0x, p0y, p1x, p1y, cx, cy, r = v
+    side = p[0]  # exactly +-1: ds_mul is exact here
+    ux, uy = ds_sub(p1x, p0x), ds_sub(p1y, p0y)
+    q = _ds_norm2(ux, uy)
+    deg = q[0] <= _EPS2
+    mag = ds_sqrt(_safe_q(q, deg))
+    vx, vy = ds_sub(cx, p0x), ds_sub(cy, p0y)
+    cross = ds_sub(ds_mul(ux, vy), ds_mul(uy, vx))
+    cen = ds_div(ds_mul(side, cross), mag)
+    res = ds_sub(cen, ds_abs(r))
+    return [_ds_where(deg, _ds_zero_like(res[0]), res)], deg
+
+
+def dsk_circle_tangent_circle(v, p):
+    """interior ? ||ra|-|rb|| - d : |ra|+|rb| - d; d is the true center
+    distance on every lane (k_circle_tangent_circle's raw value)."""
+    ax, ay, ar, bx, by, br = v
+    interior = p[0][0]  # 1.0/0.0 flag: hi part suffices
+    q = _ds_norm2(ds_sub(ax, bx), ds_sub(ay, by))
+    deg = q[0] <= _EPS2
+    dist = ds_sqrt((jnp.maximum(q[0], 0.0), jnp.where(q[0] > 0, q[1], 0.0)))
+    ra, rb = ds_abs(ar), ds_abs(br)
+    r_int = ds_abs(ds_sub(ra, rb))
+    r_ext = ds_add(ra, rb)
+    base = _ds_where(interior > 0.5, r_int, r_ext)
+    return [ds_sub(base, dist)], deg
+
+
 DS_KERNELS: Dict[str, Callable] = {
     "fixed": dsk_fixed,
     "vertical": dsk_vertical,
@@ -363,4 +398,6 @@ DS_KERNELS: Dict[str, Callable] = {
     "vertical_point_line_distance": dsk_vertical_point_line_distance,
     "horizontal_point_line_distance": dsk_horizontal_point_line_distance,
     "symmetric": dsk_symmetric,
+    "line_tangent_circle": dsk_line_tangent_circle,
+    "circle_tangent_circle": dsk_circle_tangent_circle,
 }

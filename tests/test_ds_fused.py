@@ -173,24 +173,23 @@ def test_fused_square_fixture_topology():
 
 
 def test_fused_falls_back_without_ds_kernels():
-    """A topology with a kernel outside DS_KERNELS (tangency: smooth
-    piecewise side logic, no DS variant) silently uses the
-    coarse+XLA-refine path instead."""
-    from ezpz_tpu.datatypes import DatumCircle, DatumDistance
-    from ezpz_tpu.constraints import LineSide
+    """A topology with a kernel outside DS_KERNELS (arc_length needs
+    sin/cos — no DS variant) silently uses the coarse+XLA-refine path
+    instead."""
+    from ezpz_tpu.datatypes import DatumCircularArc
 
-    line = DatumLineSegment(DatumPoint(0, 1), DatumPoint(2, 3))
-    circle = DatumCircle(center=DatumPoint(4, 5), radius=DatumDistance(6))
+    arc = DatumCircularArc(center=DatumPoint(4, 5), start=DatumPoint(0, 1),
+                           end=DatumPoint(2, 3))
     cs = [
-        Constraint.Fixed(0, 0.0), Constraint.Fixed(1, 0.0),
-        Constraint.Fixed(2, 0.0), Constraint.Fixed(3, 2.0),
-        Constraint.Fixed(4, 1.5), Constraint.Fixed(5, 1.0),
-        Constraint.LineTangentToCircle(line, circle, LineSide.Right),
+        Constraint.Fixed(4, 0.0), Constraint.Fixed(5, 0.0),  # center
+        Constraint.Fixed(0, 1.0), Constraint.Fixed(1, 0.0),  # start
+        Constraint.Arc(arc),
+        Constraint.ArcLength(arc, 1.0),
     ]
-    system = compile_system(cs, n_vars=7)
+    system = compile_system(cs, n_vars=6)
     B = 1024
     x0 = jnp.asarray(np.tile(
-        np.array([0.1, -0.1, 0.05, 2.1, 1.4, 1.1, 1.4]), (B, 1)))
+        np.array([1.0, 0.0, 0.6, 0.9, 0.0, 0.0]), (B, 1)))
     pars = _pars_for(system, B)
     solver = BatchSolver(system, Config(), batch_params=True,
                          precision="mixed", pallas_fused=True)
