@@ -378,6 +378,52 @@ def dsk_circle_tangent_circle(v, p):
     return [ds_sub(base, dist)], deg
 
 
+def dsk_point_arc_coincident(v, p):
+    """Piecewise point-on-arc residual (k_point_arc_coincident). The
+    branch CLASSIFICATION (interior-of-span via CCW angles; nearest
+    endpoint) is piecewise-constant and only selects which residual to
+    return — it runs in plain f32 on the hi+lo sums (the reference's own
+    classification is just 'the value at the evaluation point',
+    constraints.rs:2593-2606). The branch VALUES are full double-single."""
+    cx, cy, sx, sy, ex, ey, px, py = v
+    sxr, syr = ds_sub(sx, cx), ds_sub(sy, cy)
+    exr, eyr = ds_sub(ex, cx), ds_sub(ey, cy)
+    pxr, pyr = ds_sub(px, cx), ds_sub(py, cy)
+    qs = _ds_norm2(sxr, syr)
+    qe = _ds_norm2(exr, eyr)
+    qp = _ds_norm2(pxr, pyr)
+    deg = (qs[0] < _EPS2) | (qe[0] < _EPS2) | (qp[0] < _EPS2)
+    r = ds_sqrt(_safe_q(qs, deg))
+    r_e = ds_sqrt(_safe_q(qe, deg))
+    r_p = ds_sqrt(_safe_q(qp, deg))
+    scale_e = ds_div(r, r_e)
+    epx, epy = ds_mul(exr, scale_e), ds_mul(eyr, scale_e)
+
+    def f(a):  # f32 collapse for the branch selector
+        return a[0] + a[1]
+
+    two_pi = np.float32(2.0 * np.pi)
+    a_sp = jnp.mod(jnp.arctan2(f(sxr) * f(pyr) - f(syr) * f(pxr),
+                               f(sxr) * f(pxr) + f(syr) * f(pyr)), two_pi)
+    a_se = jnp.mod(jnp.arctan2(f(sxr) * f(epy) - f(syr) * f(epx),
+                               f(sxr) * f(epx) + f(syr) * f(epy)), two_pi)
+    interior = a_sp < a_se
+    d_end2 = (f(epx) - f(pxr)) ** 2 + (f(epy) - f(pyr)) ** 2
+    d_start2 = (f(sxr) - f(pxr)) ** 2 + (f(syr) - f(pyr)) ** 2
+    nearest_end = d_end2 < d_start2
+
+    sc = ds_sub(ds_div(r, r_p), _ds_const(r[0], 1.0))
+    f_int = (ds_mul(pxr, sc), ds_mul(pyr, sc))
+    f_end = (ds_sub(epx, pxr), ds_sub(epy, pyr))
+    f_start = (ds_sub(sxr, pxr), ds_sub(syr, pyr))
+    r0 = _ds_where(interior, f_int[0],
+                   _ds_where(nearest_end, f_end[0], f_start[0]))
+    r1 = _ds_where(interior, f_int[1],
+                   _ds_where(nearest_end, f_end[1], f_start[1]))
+    z = _ds_zero_like(r0[0])
+    return [_ds_where(deg, z, r0), _ds_where(deg, z, r1)], deg
+
+
 DS_KERNELS: Dict[str, Callable] = {
     "fixed": dsk_fixed,
     "vertical": dsk_vertical,
@@ -400,4 +446,5 @@ DS_KERNELS: Dict[str, Callable] = {
     "symmetric": dsk_symmetric,
     "line_tangent_circle": dsk_line_tangent_circle,
     "circle_tangent_circle": dsk_circle_tangent_circle,
+    "point_arc_coincident": dsk_point_arc_coincident,
 }
