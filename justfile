@@ -56,9 +56,10 @@ coverage *ARGS="tests/ -q":
 mutants:
     python tools/mutate.py ezpz_tpu/utils/warnings.py -- tests/test_warnings_lint.py -q
     python tools/mutate.py ezpz_tpu/solver.py --sample 40 -- \
-        tests/test_solver_edges.py tests/test_api.py -q
+        tests/test_solver_edges.py tests/test_cg.py tests/test_mixed_precision.py \
+        tests/test_golden_fixtures.py tests/test_api.py -q
     python tools/mutate.py ezpz_tpu/ops/kernels.py --sample 40 -- \
-        tests/test_properties.py -q
+        tests/test_properties.py tests/test_golden_fixtures.py -q
 
 # Quick fuzz sanity (the CI `fuzz-check` analog).
 fuzz-check:

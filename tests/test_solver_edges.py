@@ -47,6 +47,32 @@ def test_gauss_newton_factorization_failure_not_converged():
     assert float(jnp.max(jnp.abs(res.x - x0))) == 0.0
 
 
+def test_gauss_newton_solves_nonlinear_system():
+    """GN success path (newton.rs:150-228 is retained alongside LM): a
+    well-conditioned nonlinear system must converge to the same solution
+    LM finds, with every step taken (no accept/reject). Pins the GN loop's
+    damped matrix, update, and convergence logic — found untested by a
+    tools/mutate.py run (mutants of the GN body all survived)."""
+    p, q = DatumPoint(0, 1), DatumPoint(2, 3)
+    c = [
+        Constraint.Fixed(0, 0.0),
+        Constraint.Fixed(1, 0.0),
+        Constraint.Fixed(2, 3.0),
+        Constraint.Distance(p, q, 5.0),
+    ]
+    system = compile_system(c, n_vars=4)
+    x0 = jnp.asarray(np.array([0.1, -0.1, 3.2, 3.6]))
+    gn = solve_gauss_newton(system, x0, 35, 1e-8, 1e-12, 1e-9)
+    assert bool(gn.converged)
+    assert float(jnp.max(jnp.abs(gn.residual))) <= 1e-8
+    lm = solve_lm(system, x0, 35, 1e-8, 1e-12, 1e-9)
+    np.testing.assert_allclose(np.asarray(gn.x), np.asarray(lm.x), atol=1e-7)
+    # y = +4 branch (guess above the axis), x pinned by the Fixed rows.
+    np.testing.assert_allclose(np.asarray(gn.x), [0.0, 0.0, 3.0, 4.0],
+                               atol=1e-7)
+    assert 1 <= int(gn.iterations) <= 35
+
+
 def test_symmetric_degenerate_mirror_line_stays_finite():
     """Exactly coincident mirror-line endpoints: the reference's residual
     divides 0/0 and NaNs; ours deliberately stays finite and flags the
