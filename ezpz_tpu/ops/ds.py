@@ -13,10 +13,13 @@ Knuth TAOCP 4.2.2; the float-float arithmetic used throughout GPU/TPU
 double-single libraries): two_sum, Dekker split / two_prod, and a
 Karp-Markstein-style sqrt refinement.
 
-DS kernel variants (``DS_KERNELS``) mirror the f32 constraint kernels in
-``ops.kernels`` for the subset of constraint types whose residuals need
-only +, -, *, sqrt. Topologies fully covered by this subset can refine in
-the Pallas kernel; others fall back to the XLA refinement path.
+DS kernel variants (``DS_KERNELS``) mirror EVERY f32 constraint kernel in
+``ops.kernels`` — +,-,*,/,sqrt,abs primitives cover most; ``ds_sincos``
+(error-free pi/2 range reduction + Taylor in DS) covers arc_length; the
+piecewise point-arc classification selects branches in plain f32 (it is
+piecewise-constant) around full-DS branch values. Every topology can
+therefore refine inside the Pallas kernel; ``_ds_instance_list`` still
+guards against future kernels without variants.
 """
 
 from __future__ import annotations
@@ -96,6 +99,70 @@ def ds_div(a: DS, b: DS) -> DS:
     r_hi = ((a[0] - p) - e) + a[1] - q1 * b[1]
     q2 = r_hi / b[0]
     return quick_two_sum(q1, q2)
+
+
+# pi/2 as a 3-term f32 expansion: the leading error of the two-term split
+# is ~1e-14, enough for arguments up to a few revolutions.
+_PIO2_HI = np.float32(1.5707964)
+_PIO2_MD = np.float32(np.pi / 2 - np.float64(np.float32(1.5707964)))
+_PIO2_LO = np.float32(
+    np.pi / 2
+    - np.float64(np.float32(1.5707964))
+    - np.float64(np.float32(np.pi / 2 - np.float64(np.float32(1.5707964)))))
+
+# 1/k! constants as DS pairs (split from f64).
+def _const_pair(x: float):
+    hi = np.float32(x)
+    return hi, np.float32(x - np.float64(hi))
+
+
+_SIN_COEF = [_const_pair(c) for c in
+             (-1.0 / 6, 1.0 / 120, -1.0 / 5040, 1.0 / 362880,
+              -1.0 / 39916800, 1.0 / 6227020800)]
+_COS_COEF = [_const_pair(c) for c in
+             (-0.5, 1.0 / 24, -1.0 / 720, 1.0 / 40320,
+              -1.0 / 3628800, 1.0 / 479001600)]
+
+
+def _poly(y2: DS, coefs) -> DS:
+    """Horner in DS over y^2: sum_k coefs[k] * y2^(k+1) + ... nested."""
+    hi, lo = coefs[-1]
+    acc = (jnp.full_like(y2[0], hi), jnp.full_like(y2[0], lo))
+    for chi, clo in reversed(coefs[:-1]):
+        c = (jnp.full_like(y2[0], chi), jnp.full_like(y2[0], clo))
+        acc = ds_add(c, ds_mul(acc, y2))
+    return ds_mul(acc, y2)
+
+
+def ds_sincos(theta: DS) -> Tuple[DS, DS]:
+    """(sin, cos) of a DS angle: 3-term pi/2 range reduction to
+    |y| <= pi/4, Taylor in DS (terms to y^13 — beyond the ~49-bit DS
+    precision on the reduced range), quadrant unswizzle.
+
+    Accurate to ~1e-13 absolute for |theta| up to a few revolutions —
+    the arc-length kernel's alpha = d/r is a single-arc angle."""
+    n = jnp.round((theta[0] + theta[1]) * np.float32(2.0 / np.pi))
+    # y = theta - n * pi/2. The products n*hi and n*md are NOT exact in
+    # f32 (n=3 already needs 26 mantissa bits), so each goes through the
+    # error-free two_prod; only the n*lo tail may round (below 1e-13).
+    ph, eh = two_prod(n, jnp.full_like(n, _PIO2_HI))
+    pm, em = two_prod(n, jnp.full_like(n, _PIO2_MD))
+    y = ds_sub(theta, (ph, eh))
+    y = ds_sub(y, (pm, em))
+    y = ds_sub(y, (n * _PIO2_LO, jnp.zeros_like(n)))
+    one = (jnp.ones_like(y[0]), jnp.zeros_like(y[0]))
+    y2 = ds_mul(y, y)
+    sin_y = ds_add(y, ds_mul(y, _poly(y2, _SIN_COEF)))
+    cos_y = ds_add(one, _poly(y2, _COS_COEF))
+    q = jnp.mod(n.astype(jnp.int32), 4)
+    swap = (q == 1) | (q == 3)
+    s_base = _ds_where(swap, cos_y, sin_y)
+    c_base = _ds_where(swap, sin_y, cos_y)
+    s_neg = (q == 2) | (q == 3)
+    c_neg = (q == 1) | (q == 2)
+    sin_t = _ds_where(s_neg, ds_neg(s_base), s_base)
+    cos_t = _ds_where(c_neg, ds_neg(c_base), c_base)
+    return sin_t, cos_t
 
 
 def ds_abs(a: DS) -> DS:
@@ -424,6 +491,25 @@ def dsk_point_arc_coincident(v, p):
     return [_ds_where(deg, z, r0), _ds_where(deg, z, r1)], deg
 
 
+def dsk_arc_length(v, p):
+    """(b - c) - R(d/|a-c|)(a - c), two rows (k_arc_length) — the last
+    kernel to get a DS variant, via ``ds_sincos``."""
+    cx, cy, ax, ay, bx, by = v
+    d = p[0]
+    ux, uy = ds_sub(ax, cx), ds_sub(ay, cy)
+    q = _ds_norm2(ux, uy)
+    deg = q[0] <= _EPS2
+    r = ds_sqrt(_safe_q(q, deg))
+    alpha = ds_div(d, r)
+    sa, ca = ds_sincos(alpha)
+    rux = ds_sub(ds_mul(ca, ux), ds_mul(sa, uy))
+    ruy = ds_add(ds_mul(sa, ux), ds_mul(ca, uy))
+    r0 = ds_sub(ds_sub(bx, cx), rux)
+    r1 = ds_sub(ds_sub(by, cy), ruy)
+    z = _ds_zero_like(r0[0])
+    return [_ds_where(deg, z, r0), _ds_where(deg, z, r1)], deg
+
+
 DS_KERNELS: Dict[str, Callable] = {
     "fixed": dsk_fixed,
     "vertical": dsk_vertical,
@@ -447,4 +533,5 @@ DS_KERNELS: Dict[str, Callable] = {
     "line_tangent_circle": dsk_line_tangent_circle,
     "circle_tangent_circle": dsk_circle_tangent_circle,
     "point_arc_coincident": dsk_point_arc_coincident,
+    "arc_length": dsk_arc_length,
 }

@@ -172,10 +172,18 @@ def test_fused_square_fixture_topology():
     np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x), atol=1e-6)
 
 
-def test_fused_falls_back_without_ds_kernels():
-    """A topology with a kernel outside DS_KERNELS (arc_length needs
-    sin/cos — no DS variant) silently uses the coarse+XLA-refine path
-    instead."""
+def test_all_kernels_have_ds_variants():
+    """Every constraint kernel now has a double-single variant — no
+    topology is excluded from the fused path by kernel coverage."""
+    from ezpz_tpu.ops.ds import DS_KERNELS
+    from ezpz_tpu.ops.kernels import KERNELS
+
+    assert set(DS_KERNELS) == set(KERNELS)
+
+
+def test_fused_arc_length_topology():
+    """The last DS holdout (arc_length, needs ds_sincos) solves fused and
+    matches the plain mixed path."""
     from ezpz_tpu.datatypes import DatumCircularArc
 
     arc = DatumCircularArc(center=DatumPoint(4, 5), start=DatumPoint(0, 1),
@@ -190,6 +198,24 @@ def test_fused_falls_back_without_ds_kernels():
     B = 1024
     x0 = jnp.asarray(np.tile(
         np.array([1.0, 0.0, 0.6, 0.9, 0.0, 0.0]), (B, 1)))
+    pars = _pars_for(system, B)
+    solver = BatchSolver(system, Config(), batch_params=True,
+                         precision="mixed", pallas_fused=True)
+    out = solver.solve(x0, pars)
+    assert solver._fused_runs[B] is not None  # fused, no fallback
+    assert bool(np.asarray(out.converged).all())
+    ref = BatchSolver(system, Config(), batch_params=True,
+                      precision="mixed").solve(x0, pars)
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x), atol=1e-6)
+
+
+def test_fused_falls_back_when_batch_does_not_tile():
+    """B not a multiple of the kernel tile: fused (and coarse) silently
+    use the XLA path."""
+    system = _mixed_system()
+    B = 100  # not a multiple of 1024
+    base = np.array([0.3, 0.1, 0.2, 3.3, 0.25, 3.2, 1.1])
+    x0 = jnp.asarray(np.tile(base, (B, 1)))
     pars = _pars_for(system, B)
     solver = BatchSolver(system, Config(), batch_params=True,
                          precision="mixed", pallas_fused=True)
