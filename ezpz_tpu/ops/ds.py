@@ -154,12 +154,15 @@ def ds_sincos(theta: DS) -> Tuple[DS, DS]:
     y2 = ds_mul(y, y)
     sin_y = ds_add(y, ds_mul(y, _poly(y2, _SIN_COEF)))
     cos_y = ds_add(one, _poly(y2, _COS_COEF))
-    q = jnp.mod(n.astype(jnp.int32), 4)
-    swap = (q == 1) | (q == 3)
+    # np.int32 literals: under x64 mode a bare 4 promotes to i64, which
+    # the Pallas TPU tracer refuses.
+    q = jnp.mod(n.astype(jnp.int32), np.int32(4))
+    one_i, two_i, three_i = np.int32(1), np.int32(2), np.int32(3)
+    swap = (q == one_i) | (q == three_i)
     s_base = _ds_where(swap, cos_y, sin_y)
     c_base = _ds_where(swap, sin_y, cos_y)
-    s_neg = (q == 2) | (q == 3)
-    c_neg = (q == 1) | (q == 2)
+    s_neg = (q == two_i) | (q == three_i)
+    c_neg = (q == one_i) | (q == two_i)
     sin_t = _ds_where(s_neg, ds_neg(s_base), s_base)
     cos_t = _ds_where(c_neg, ds_neg(c_base), c_base)
     return sin_t, cos_t
@@ -469,12 +472,9 @@ def dsk_point_arc_coincident(v, p):
     def f(a):  # f32 collapse for the branch selector
         return a[0] + a[1]
 
-    two_pi = np.float32(2.0 * np.pi)
-    a_sp = jnp.mod(jnp.arctan2(f(sxr) * f(pyr) - f(syr) * f(pxr),
-                               f(sxr) * f(pxr) + f(syr) * f(pyr)), two_pi)
-    a_se = jnp.mod(jnp.arctan2(f(sxr) * f(epy) - f(syr) * f(epx),
-                               f(sxr) * f(epx) + f(syr) * f(epy)), two_pi)
-    interior = a_sp < a_se
+    from .kernels import ccw_angle_less
+
+    interior = ccw_angle_less(f(sxr), f(syr), f(pxr), f(pyr), f(epx), f(epy))
     d_end2 = (f(epx) - f(pxr)) ** 2 + (f(epy) - f(pyr)) ** 2
     d_start2 = (f(sxr) - f(pxr)) ** 2 + (f(syr) - f(pyr)) ** 2
     nearest_end = d_end2 < d_start2

@@ -355,6 +355,61 @@ def k_point_arc_coincident(v, p):
     return jnp.stack([r0, r1]), deg
 
 
+def ccw_angle_less(sx, sy, px, py, ex, ey):
+    """atan2-free equivalent of ``angle_ccw(s->p) < angle_ccw(s->e)``:
+    half-plane split by cross(s, x) sign, then an in-half cross(p, e)
+    orientation test. Differs from the atan2 comparison only when an angle
+    is EXACTLY 0 or pi (measure-zero; the classification is a piecewise-
+    constant branch selector). Exists because Mosaic (Pallas TPU) has no
+    atan2 lowering."""
+    c_p = _cross(sx, sy, px, py)
+    c_e = _cross(sx, sy, ex, ey)
+    d_p = sx * px + sy * py
+    d_e = sx * ex + sy * ey
+    h_p = (c_p > 0.0) | ((c_p == 0.0) & (d_p > 0.0))
+    h_e = (c_e > 0.0) | ((c_e == 0.0) & (d_e > 0.0))
+    in_half = _cross(px, py, ex, ey) > 0.0
+    # Boolean algebra instead of a select: Mosaic cannot lower select_n
+    # over i1 vectors ("Unsupported target bitwidth for truncation").
+    same = h_p == h_e
+    return (same & in_half) | (~same & h_p)
+
+
+def k_point_arc_coincident_pallas(v, p):
+    """``k_point_arc_coincident`` with the span classification done by
+    ``ccw_angle_less`` instead of atan2 — required inside Pallas kernels.
+    Same branch values; selection can differ only at exact 0/pi angles."""
+    cx, cy, sx, sy, ex, ey, px, py = v
+    sxr, syr = sx - cx, sy - cy
+    exr, eyr = ex - cx, ey - cy
+    pxr, pyr = px - cx, py - cy
+    qs = sxr * sxr + syr * syr
+    qe = exr * exr + eyr * eyr
+    qp = pxr * pxr + pyr * pyr
+    deg = (qs < _EPS2) | (qe < _EPS2) | (qp < _EPS2)
+    r = _safe_sqrt(qs, deg)
+    r_e = _safe_sqrt(qe, deg)
+    r_p = _safe_sqrt(qp, deg)
+    scale_e = r / r_e
+    epx, epy = exr * scale_e, eyr * scale_e
+    interior = ccw_angle_less(sxr, syr, pxr, pyr, epx, epy)
+    d_end2 = (epx - pxr) ** 2 + (epy - pyr) ** 2
+    d_start2 = (sxr - pxr) ** 2 + (syr - pyr) ** 2
+    nearest_end = d_end2 < d_start2
+    f_int = (pxr * (r / r_p - 1.0), pyr * (r / r_p - 1.0))
+    f_end = (epx - pxr, epy - pyr)
+    f_start = (sxr - pxr, syr - pyr)
+    r0 = jnp.where(interior, f_int[0], jnp.where(nearest_end, f_end[0], f_start[0]))
+    r1 = jnp.where(interior, f_int[1], jnp.where(nearest_end, f_end[1], f_start[1]))
+    r0 = _guard(deg, 0.0, r0)
+    r1 = _guard(deg, 0.0, r1)
+    return jnp.stack([r0, r1]), deg
+
+
+# f32 kernel overrides for Pallas kernels (Mosaic has no atan2 lowering).
+PALLAS_SAFE_FN = {"point_arc_coincident": k_point_arc_coincident_pallas}
+
+
 def k_arc_length(v, p):
     """vars [cx cy ax ay bx by]; params [d].
 

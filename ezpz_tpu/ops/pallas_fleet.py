@@ -52,13 +52,18 @@ SUB = 8  # sublanes per scalar-row block (f32 native tile height)
 
 
 def _instance_list(system32: CompiledSystem):
-    """(fn, ids, block_idx, inst_idx, p_k, weight, cid) per lowered instance."""
+    """(fn, ids, block_idx, inst_idx, p_k, weight, cid) per lowered instance.
+
+    Kernels with ops Mosaic cannot lower (atan2) swap in their
+    mathematically-equivalent Pallas-safe variants (``PALLAS_SAFE_FN``)."""
+    from .kernels import PALLAS_SAFE_FN
+
     out = []
     for bi, b in enumerate(system32.blocks):
         pk = int(b.par.shape[1])
         for i in range(b.idx.shape[0]):
             out.append((
-                b.spec.fn,
+                PALLAS_SAFE_FN.get(b.spec.name, b.spec.fn),
                 [int(j) for j in b.idx[i]],
                 bi, i, pk,
                 np.float32(b.weight[i]),

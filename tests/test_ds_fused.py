@@ -172,6 +172,38 @@ def test_fused_square_fixture_topology():
     np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x), atol=1e-6)
 
 
+def test_ccw_angle_less_matches_atan2():
+    """The Pallas-safe half-plane classification == the atan2 comparison
+    (random vectors; exact 0/pi boundary angles excluded as documented)."""
+    from ezpz_tpu.ops.kernels import ccw_angle_less
+
+    rng = np.random.default_rng(8)
+    n = 4096
+    sx, sy, px, py, ex, ey = rng.standard_normal((6, n))
+    a_sp = np.mod(np.arctan2(sx * py - sy * px, sx * px + sy * py), 2 * np.pi)
+    a_se = np.mod(np.arctan2(sx * ey - sy * ex, sx * ex + sy * ey), 2 * np.pi)
+    ref = a_sp < a_se
+    got = np.asarray(ccw_angle_less(*map(jnp.asarray, (sx, sy, px, py, ex, ey))))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_pallas_safe_point_arc_matches_original():
+    """k_point_arc_coincident_pallas == k_point_arc_coincident on random
+    states (values AND branch selection)."""
+    from ezpz_tpu.ops.kernels import (
+        KERNELS,
+        k_point_arc_coincident_pallas,
+    )
+
+    spec = KERNELS["point_arc_coincident"]
+    rng = np.random.default_rng(9)
+    v = jnp.asarray(rng.uniform(-10, 10, (256, 8)))
+    ref, dref = jax.vmap(lambda vv: spec.fn(vv, jnp.zeros((0,))))(v)
+    got, dgot = jax.vmap(lambda vv: k_point_arc_coincident_pallas(vv, jnp.zeros((0,))))(v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(dgot), np.asarray(dref))
+
+
 def test_all_kernels_have_ds_variants():
     """Every constraint kernel now has a double-single variant — no
     topology is excluded from the fused path by kernel coverage."""
