@@ -163,7 +163,7 @@ def main():
         from coupled_bench import run as coupled_run
 
         detail["coupled"] = coupled_run(
-            lines=600, copies=int(os.environ.get("BENCH_COUPLED_COPIES", "128")),
+            lines=600, copies=int(os.environ.get("BENCH_COUPLED_COPIES", "256")),
             precision="mixed", reps=3)
 
     print(json.dumps({
