@@ -7,6 +7,11 @@ require Q to be 4 units away, seed rough guesses, solve, read back points.
     python examples/basic.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import ezpz_tpu as ez
 
 

@@ -9,6 +9,11 @@ geometry lookups.
     python examples/parser.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from ezpz_tpu.textual import Problem
 
 FILE = """\

@@ -18,3 +18,10 @@ def test_parser_example(capsys):
     runpy.run_path(os.path.join(EXAMPLES, "parser.py"), run_name="__main__")
     out = capsys.readouterr().out
     assert "p = (0.000000, 0.000000)" in out
+
+
+def test_scale_example(capsys):
+    runpy.run_path(os.path.join(EXAMPLES, "scale.py"), run_name="__main__")
+    out = capsys.readouterr().out
+    assert "fleet: 4096 sketches, all converged = True" in out
+    assert "converged = True, all line lengths = 4.000000" in out
