@@ -59,7 +59,8 @@ mutants:
         tests/test_solver_edges.py tests/test_cg.py tests/test_mixed_precision.py \
         tests/test_golden_fixtures.py tests/test_api.py -q
     python tools/mutate.py ezpz_tpu/ops/kernels.py --sample 40 -- \
-        tests/test_properties.py tests/test_golden_fixtures.py -q
+        tests/test_properties.py tests/test_properties_families.py \
+        tests/test_golden_fixtures.py -q
 
 # Quick fuzz sanity (the CI `fuzz-check` analog).
 fuzz-check:

@@ -176,6 +176,34 @@ def test_circle_tangency_family():
         assert abs(d - (r0 + r1)) < 1e-5  # exterior tangency inferred
 
 
+def test_circle_tangency_interior_family():
+    """INTERIOR tangency: one circle inside the other, center distance
+    equals ||r0|-|r1|| (constraints.rs:545-564 interior arm — found
+    untested by a tools/mutate.py run: mutating |ra-rb| to |ra+rb|
+    survived the suite)."""
+    from ezpz_tpu.constraints import CircleSide
+
+    c0 = DatumCircle(center=DatumPoint(0, 1), radius=DatumDistance(2))
+    c1 = DatumCircle(center=DatumPoint(3, 4), radius=DatumDistance(5))
+    for _ in range(N_CASES):
+        r0 = float(RNG.uniform(2.0, 4.0))
+        r1 = float(RNG.uniform(0.5, 1.0))  # strictly smaller: c1 inside c0
+        out = _solve(
+            [
+                Constraint.Fixed(0, 0.0), Constraint.Fixed(1, 0.0),
+                Constraint.CircleRadius(c0, r0),
+                Constraint.CircleRadius(c1, r1),
+                Constraint.Fixed(4, 0.0),  # c1 on the x-axis, x free
+                Constraint.CircleTangentToCircle(c0, c1, CircleSide.Interior),
+            ],
+            [(0, 0.0), (1, 0.0), (2, r0),
+             (3, (r0 - r1) * 0.9), (4, 0.0), (5, r1)],
+        )
+        assert out.converged
+        d = abs(out.final_values[3])
+        assert abs(d - (r0 - r1)) < 1e-5  # internally tangent
+
+
 def test_distance_var_finiteness_and_symmetry():
     p, q = DatumPoint(0, 1), DatumPoint(2, 3)
     dvar = DatumDistance(4)
