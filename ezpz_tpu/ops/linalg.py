@@ -262,6 +262,61 @@ def spd_solve(A: jnp.ndarray, b: jnp.ndarray):
     return _xla_spd_solve(A, b)
 
 
+# Column-unrolled tier cutoff for HEAVILY-BATCHED mid-size solves (see
+# spd_solve_batched): 48 fits the partitioned-Schur interiors; above ~64
+# the trace blows up and XLA's blocked algorithm wins anyway.
+UNROLL_COL_MAX_N = 64
+
+
+def _colunroll_spd_solve(A: jnp.ndarray, B: jnp.ndarray):
+    """Mid-size tier for batched contexts: trace-time column-unrolled
+    Cholesky + triangular inverse (pure vector ops that vectorize over a
+    vmapped batch), solves as two matmuls.
+
+    Measured on the v5e at (B=15360, n=48): 86.5 ms vs XLA cholesky's
+    126.2 ms — but ONLY at default (bfloat16-multiply) matmul precision.
+    Under ``jax.default_matmul_precision("highest")`` — which the
+    correctness-critical solver paths require — the explicit-inverse
+    matmuls pay the 6x f32 multi-pass and the tier LOSES in context
+    (BlockSchurSolver measured 386 vs 876 coupled solves/sec), so no
+    production path routes here by default; it remains available for
+    precision-tolerant batched workloads. For a SINGLE matrix the
+    serialized column chain is ~10x slower than XLA regardless."""
+    L = _chol_small(A)
+    diag = jnp.diagonal(L, axis1=-2, axis2=-1)
+    fail = ~jnp.all(jnp.isfinite(diag))
+    L = jnp.where(jnp.isfinite(L), L, 0.0)
+    n = L.shape[-1]
+    idx = jnp.arange(n)
+    d = jnp.diagonal(L, axis1=-2, axis2=-1)
+    safe = jnp.where(jnp.abs(d) > 0.0, d, 1.0)
+    L = L.at[..., idx, idx].set(safe)
+    Li = _tri_inv_small(L)
+    x = Li.T @ (Li @ B)
+    x = jnp.where(fail, jnp.zeros_like(x), x)
+    return x, fail
+
+
+def spd_solve_batched(A: jnp.ndarray, b: jnp.ndarray):
+    """``spd_solve`` for callers that vmap MANY solves of this shape in
+    one program AND tolerate default matmul precision: the 24 < n <= 64
+    tier uses the column-unrolled path (see ``_colunroll_spd_solve`` for
+    the measured trade-off — under highest-precision matmuls prefer plain
+    ``spd_solve``)."""
+    n = A.shape[-1]
+    if UNROLL_MAX_N < n <= UNROLL_COL_MAX_N:
+        return _colunroll_spd_solve(A, b)
+    return spd_solve(A, b)
+
+
+def spd_solve_multi_batched(A: jnp.ndarray, B: jnp.ndarray):
+    """``spd_solve_multi`` with the batched-context mid-size tier."""
+    n = A.shape[-1]
+    if UNROLL_MAX_N < n <= UNROLL_COL_MAX_N:
+        return _colunroll_spd_solve(A, B)
+    return spd_solve_multi(A, B)
+
+
 def spd_solve_multi(A: jnp.ndarray, B: jnp.ndarray):
     """Solve A X = B for SPD A with multiple right-hand sides B (n, m).
     Returns (X, fail)."""

@@ -129,6 +129,34 @@ def test_blocked_mixed_batch_one_failure():
     np.testing.assert_allclose(np.asarray(xs[2]), np.linalg.solve(As[2], bs[2]), atol=1e-9)
 
 
+@pytest.mark.parametrize("n", [25, 48, 64])
+def test_batched_colunroll_tier_matches_numpy(n):
+    """spd_solve_batched's mid-size tier (column-unrolled, for vmapped
+    contexts): parity, batching, and failure semantics."""
+    from ezpz_tpu.ops.linalg import spd_solve_batched, spd_solve_multi_batched
+
+    rng = np.random.default_rng(n)
+    B = 5
+    As = np.stack([_spd(rng, n) for _ in range(B)])
+    bs = rng.standard_normal((B, n))
+    xs, fails = jax.jit(jax.vmap(spd_solve_batched))(jnp.asarray(As), jnp.asarray(bs))
+    assert not bool(np.asarray(fails).any())
+    for i in range(B):
+        np.testing.assert_allclose(np.asarray(xs[i]),
+                                   np.linalg.solve(As[i], bs[i]), atol=1e-8)
+    # multi-RHS
+    Bs = rng.standard_normal((B, n, 3))
+    Xs, f2 = jax.jit(jax.vmap(spd_solve_multi_batched))(jnp.asarray(As), jnp.asarray(Bs))
+    assert not bool(np.asarray(f2).any())
+    np.testing.assert_allclose(np.asarray(Xs[0]),
+                               np.linalg.solve(As[0], Bs[0]), atol=1e-8)
+    # non-SPD lane fails alone, zero-filled and finite
+    As[2] = -np.eye(n)
+    xs, fails = jax.jit(jax.vmap(spd_solve_batched))(jnp.asarray(As), jnp.asarray(bs))
+    assert bool(np.asarray(fails)[2]) and not bool(np.asarray(fails)[0])
+    assert bool(jnp.all(xs[2] == 0.0)) and bool(jnp.all(jnp.isfinite(xs[2])))
+
+
 def test_unrolled_tier_unchanged():
     """The n <= UNROLL_MAX_N boundary still routes to the unrolled path
     (same results either way; this pins the routing constant)."""
