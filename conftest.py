@@ -16,9 +16,15 @@ jax.config.update("jax_enable_x64", True)
 
 import ezpz_tpu
 
-ezpz_tpu.enable_compilation_cache(
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-)
+# EZPZ_TPU_NO_CACHE=1 opts out of the persistent compilation cache: long
+# fuzzing runs compile hundreds of distinct throwaway topologies, and
+# jax's cache writer (zstandard serialization in put_executable_and_time)
+# has segfaulted intermittently under that many-compile stress on this
+# image. Normal suite runs keep the cache (it cuts wall time ~2x).
+if os.environ.get("EZPZ_TPU_NO_CACHE", "") in ("", "0"):
+    ezpz_tpu.enable_compilation_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    )
 
 
 def pytest_configure(config):

@@ -16,9 +16,12 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: repeated suite runs skip recompiling the
 # (identical) jitted solvers, cutting wall time substantially.
+# EZPZ_TPU_NO_CACHE=1 opts out (see the repo-root conftest.py: jax's cache
+# writer has segfaulted under long fuzzing's many-compile stress).
 import ezpz_tpu
 
-ezpz_tpu.enable_compilation_cache(
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache")
-)
+if os.environ.get("EZPZ_TPU_NO_CACHE", "") in ("", "0"):
+    ezpz_tpu.enable_compilation_cache(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache")
+    )
