@@ -523,7 +523,16 @@ class ShardedSchurSolver:
         )
         self._block_arrays = block_arrays
         self._imask = imask
-        self._sharded = jax.jit(sharded)
+
+        # TPU matmuls on f32 inputs default to bfloat16 multiplies, which
+        # is far too coarse for the mixed path's Schur algebra (measured as
+        # hard non-convergence in BlockSchurSolver before the same fix).
+        # Bake full-precision matmuls into the trace; no-op on CPU.
+        def sharded_hp(*args):
+            with jax.default_matmul_precision("highest"):
+                return sharded(*args)
+
+        self._sharded = jax.jit(sharded_hp)
 
     def _scatter_x(self, x0) -> Tuple[np.ndarray, np.ndarray]:
         D = self.layout.n_devices
