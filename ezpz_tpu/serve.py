@@ -297,15 +297,11 @@ def benchmark(n: int = 100) -> float:
 # -- HTTP front end ----------------------------------------------------------
 
 
-def run_server(host: str = "127.0.0.1", port: int = 8787) -> None:
-    """POST /solve with a textual problem body -> JSON outcome.
-    GET /healthz -> service stats."""
-    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-
-    from . import enable_compilation_cache
-
-    enable_compilation_cache()  # warm restarts skip topology recompiles
-    service = SolverService()
+def make_handler(service: "SolverService"):
+    """The HTTP handler class bound to ``service`` — factored out of
+    ``run_server`` so tests exercise the REAL production handler (routes,
+    X-Precision header, error bodies) rather than a reimplementation."""
+    from http.server import BaseHTTPRequestHandler
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet
@@ -348,7 +344,19 @@ def run_server(host: str = "127.0.0.1", port: int = 8787) -> None:
             self.end_headers()
             self.wfile.write(body)
 
-    server = ThreadingHTTPServer((host, port), Handler)
+    return Handler
+
+
+def run_server(host: str = "127.0.0.1", port: int = 8787) -> None:
+    """POST /solve with a textual problem body -> JSON outcome.
+    GET /healthz -> service stats."""
+    from http.server import ThreadingHTTPServer
+
+    from . import enable_compilation_cache
+
+    enable_compilation_cache()  # warm restarts skip topology recompiles
+    service = SolverService()
+    server = ThreadingHTTPServer((host, port), make_handler(service))
     print(f"ezpz_tpu serving on http://{host}:{port} (POST /solve)")
     try:
         server.serve_forever()

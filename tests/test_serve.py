@@ -3,6 +3,7 @@
 import json
 import threading
 import time
+import urllib.error
 import urllib.request
 
 import pytest
@@ -107,46 +108,59 @@ def test_service_parse_error():
 
 
 def test_http_server_roundtrip():
+    """The PRODUCTION handler (serve.make_handler) on an ephemeral port:
+    solve roundtrip, /healthz stats, 404 routes, the X-Precision header,
+    and the 400 error body for an unparseable problem."""
     from http.server import ThreadingHTTPServer
 
-    # Start the server on an ephemeral port in a thread.
     import ezpz_tpu.serve as sv
 
     service = sv.SolverService()
-    from http.server import BaseHTTPRequestHandler
-
-    # Reuse run_server's handler logic via a tiny inline server.
-    class Handler(BaseHTTPRequestHandler):
-        def log_message(self, *args):
-            pass
-
-        def do_POST(self):
-            length = int(self.headers.get("Content-Length", "0"))
-            text = self.rfile.read(length).decode()
-            try:
-                result = service.solve_text(text)
-                body = json.dumps(result).encode()
-                code = 200
-            except Exception as e:
-                body = json.dumps({"error": str(e)}).encode()
-                code = 400
-            self.send_response(code)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
-
-    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), sv.make_handler(service))
     port = server.server_address[1]
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
+    base = f"http://127.0.0.1:{port}"
     try:
         req = urllib.request.Request(
-            f"http://127.0.0.1:{port}/solve", data=_txt("tiny").encode(), method="POST"
-        )
+            f"{base}/solve", data=_txt("tiny").encode(), method="POST")
         with urllib.request.urlopen(req, timeout=120) as resp:
             out = json.loads(resp.read())
         assert out["converged"]
+
+        # X-Precision header forces the reference-exact path.
+        req = urllib.request.Request(
+            f"{base}/solve", data=_txt("tiny").encode(), method="POST",
+            headers={"X-Precision": "f64"})
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            out = json.loads(resp.read())
+        assert out["precision"] == "f64" and out["iterations_comparable"]
+
+        # /healthz reports stats.
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as resp:
+            health = json.loads(resp.read())
+        assert health["ok"] and health["requests"] >= 2
+
+        # Unknown routes 404 (GET and POST).
+        for method, path in (("GET", "/nope"), ("POST", "/nope")):
+            req = urllib.request.Request(
+                f"{base}{path}", data=b"x" if method == "POST" else None,
+                method=method)
+            try:
+                urllib.request.urlopen(req, timeout=30)
+                assert False, "expected 404"
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+
+        # Unparseable body -> 400 with a JSON error payload.
+        req = urllib.request.Request(
+            f"{base}/solve", data=b"this is not a problem", method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=120)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "error" in json.loads(e.read())
     finally:
         server.shutdown()
         service.shutdown()
