@@ -94,6 +94,85 @@ def test_point_line_distance_family():
         assert side * side0 > 0
 
 
+def test_axis_point_line_distance_slanted_family():
+    """Vertical/HorizontalPointLineDistance against SLANTED lines: the
+    slope term dy/dx*(ax-px) (resp. dx/dy*(ay-py)) must actually bite
+    (a tools/mutate.py run showed sign mutations of that term surviving —
+    the previous coverage used geometries where it vanished).
+    Solved values checked against the closed-form residual."""
+    a, b, p = DatumPoint(0, 1), DatumPoint(2, 3), DatumPoint(4, 5)
+    line = DatumLineSegment(a, b)
+    for _ in range(N_CASES):
+        ax, ay = RNG.uniform(-5, 5, 2)
+        bx, by = ax + RNG.uniform(1, 4), ay + RNG.uniform(1, 4)  # slanted
+        d = float(RNG.uniform(0.5, 3.0))
+        px = ax + RNG.uniform(0.5, 2.0)
+        # Vertical distance: ay' at solved p satisfies
+        # py - line_y_at(px) = d, with px held fixed.
+        out = _solve(
+            [
+                Constraint.Fixed(a.x_id, ax), Constraint.Fixed(a.y_id, ay),
+                Constraint.Fixed(b.x_id, bx), Constraint.Fixed(b.y_id, by),
+                Constraint.Fixed(p.x_id, px),
+                Constraint.VerticalPointLineDistance(p, line, d),
+            ],
+            [(0, ax), (1, ay), (2, bx), (3, by), (4, px),
+             (5, ay + d + 1.0)],
+        )
+        assert out.converged
+        py = out.final_values[5]
+        line_y = ay + (by - ay) / (bx - ax) * (px - ax)
+        assert abs((py - line_y) - d) < 1e-5
+
+        # Horizontal distance: px' - line_x_at(py) = d, with py held fixed.
+        py2 = ay + RNG.uniform(0.5, 2.0)
+        out = _solve(
+            [
+                Constraint.Fixed(a.x_id, ax), Constraint.Fixed(a.y_id, ay),
+                Constraint.Fixed(b.x_id, bx), Constraint.Fixed(b.y_id, by),
+                Constraint.Fixed(p.y_id, py2),
+                Constraint.HorizontalPointLineDistance(p, line, d),
+            ],
+            [(0, ax), (1, ay), (2, bx), (3, by), (4, ax + d + 1.0),
+             (5, py2)],
+        )
+        assert out.converged
+        px2 = out.final_values[4]
+        line_x = ax + (bx - ax) / (by - ay) * (py2 - ay)
+        assert abs((px2 - line_x) - d) < 1e-5
+
+
+def test_symmetric_off_origin_family():
+    """Symmetric with the mirror line NOWHERE near the origin: the
+    reflection formula's q-p direction terms must bite individually
+    (mutation testing showed sign flips surviving on origin-anchored
+    data). Check the solved b is the exact geometric reflection of a."""
+    line = DatumLineSegment(DatumPoint(0, 1), DatumPoint(2, 3))
+    a, b = DatumPoint(4, 5), DatumPoint(6, 7)
+    for _ in range(N_CASES):
+        px, py = RNG.uniform(3, 8, 2)  # far from origin
+        qx, qy = px + RNG.uniform(1, 3), py + RNG.uniform(-3, -1)
+        ax, ay = px + RNG.uniform(-2, 2), py + RNG.uniform(0.5, 2.5)
+        out = _solve(
+            [
+                Constraint.Fixed(0, px), Constraint.Fixed(1, py),
+                Constraint.Fixed(2, qx), Constraint.Fixed(3, qy),
+                Constraint.Fixed(4, ax), Constraint.Fixed(5, ay),
+                Constraint.Symmetric(line, a, b),
+            ],
+            [(0, px), (1, py), (2, qx), (3, qy), (4, ax), (5, ay),
+             (6, ax + 0.5), (7, ay - 0.5)],
+        )
+        assert out.converged
+        bx, by = out.final_values[6], out.final_values[7]
+        # Exact reflection: b = 2*proj_line(a) - a.
+        dx, dy = qx - px, qy - py
+        t = ((ax - px) * dx + (ay - py) * dy) / (dx * dx + dy * dy)
+        fx, fy = px + t * dx, py + t * dy  # foot of perpendicular
+        assert abs(bx - (2 * fx - ax)) < 1e-5
+        assert abs(by - (2 * fy - ay)) < 1e-5
+
+
 def test_point_arc_coincident_family():
     arc = DatumCircularArc(
         center=DatumPoint(0, 1), start=DatumPoint(2, 3), end=DatumPoint(4, 5)
