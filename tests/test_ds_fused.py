@@ -38,6 +38,17 @@ def test_ds_add_mul_sqrt_accuracy():
     assert np.max(rel / np.sqrt(np.abs(a64))) < 1e-13
 
 
+def test_ds_sincos_multi_revolution():
+    """ds_sincos over +-20 rad (several revolutions): exercises quadrant
+    indices |n| > 4, where a wrong modulus would misplace quadrants (a
+    mutation of mod(n, 4) survived the original +-7 rad range)."""
+    rng = np.random.default_rng(6)
+    th = rng.uniform(-20, 20, 2048)
+    s, c = D.ds_sincos(D.split_f64(th))
+    assert np.max(np.abs(np.asarray(D.join_f64(*s)) - np.sin(th))) < 1e-11
+    assert np.max(np.abs(np.asarray(D.join_f64(*c)) - np.cos(th))) < 1e-11
+
+
 def test_ds_distance_kernel_large_coordinates():
     """|p0-p1| - d evaluated at coordinate scale 600 stays accurate to
     ~1e-11 absolute — the regime where plain f32 has ~4e-5 error."""
