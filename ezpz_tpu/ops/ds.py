@@ -406,7 +406,11 @@ def dsk_symmetric(v, p):
     dx, dy = ds_sub(qx, px), ds_sub(qy, py)
     r = _ds_norm2(dx, dy)
     deg = (r[0] * r[0]) < np.float32(1e-4)
-    r_s = _ds_where(deg | (r[0] == 0.0), _ds_const(r[0], 1.0), r)
+    # Value parity with k_symmetric: the f32 kernel's raw (degenerate-branch)
+    # value divides by the TRUE |q-p|^2, guarding only exact zero
+    # (kernels.py r_z). Guarding on every deg lane would change the residual
+    # value and the derived satisfaction bit on degenerate-but-nonzero lanes.
+    r_s = _ds_where(r[0] == 0.0, _ds_const(r[0], 1.0), r)
     sx, sy = ds_sub(ax, px), ds_sub(ay, py)
     dot = ds_add(ds_mul(sx, dx), ds_mul(sy, dy))
     two = _ds_const(dx[0], 2.0)

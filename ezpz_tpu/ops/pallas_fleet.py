@@ -641,11 +641,16 @@ def make_fused_fleet_solver(
         # CURRENT point ride in the carry (updated on accept), so the final
         # verification needs no extra residual evaluation — the carried
         # state IS the state at the final point.
+        # Refinement starts EXACTLY at the coarse point: the coarse phase
+        # solved in f32 hi parts only, so the lo halves of its answer are
+        # zero. Carrying the ORIGINAL x0's lo here would offset the start
+        # point by up to ~ulp(|x0|)/2 from the coarse answer (ADVICE r2).
+        xc_lo = [jnp.zeros_like(xl) for xl in x0lo]
         r_ds0, deg_ds0, sat0 = _ds_residual_rows(
-            system32, ds_instances, xc, x0lo, parhi_t, parlo_t, shape)
+            system32, ds_instances, xc, xc_lo, parhi_t, parlo_t, shape)
         r2_ds0 = _ds_rows_sumsq(r_ds0)
         Fr0 = jnp.concatenate(
-            xc + x0lo + [p[0] for p in r_ds0] + [p[1] for p in r_ds0]
+            xc + xc_lo + [p[0] for p in r_ds0] + [p[1] for p in r_ds0]
             + [r2_ds0[0], r2_ds0[1], lam_c], axis=0)
         Ir0 = jnp.concatenate(
             [jnp.zeros((2 * SUB, C), jnp.int32)]

@@ -125,7 +125,7 @@ class ShardedSchurSolver:
         dtype=jnp.float64,
         precision: str = "f64",
         boundary_solver: str = "dense",
-        cg_tol: float = 1e-12,
+        cg_tol: Optional[float] = None,
         cg_max_iters: int = 400,
     ):
         """``precision="mixed"``: per-iteration inexact Newton for TPU —
@@ -152,12 +152,19 @@ class ShardedSchurSolver:
           SPD, so CG needs no failure path. ``cg_tol`` is RELATIVE to
           |rhs| (inexact Newton: the LM accept/reject loop absorbs the
           inexactness; tighten it if iteration-count parity with the dense
-          path matters)."""
+          path matters). Default (``None``): picked for the working
+          dtype — 1e-12 when the linear algebra runs in f64, 1e-5 in
+          f32 (just above where f32 CG residuals stagnate).
+          A fixed 1e-12 relative target is unreachable in f32 (the CG
+          residual stagnates near ~1e-7 |rhs|), silently burning the full
+          ``cg_max_iters`` matvecs + psums on every LM iteration."""
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), ("d",))
         assert precision in ("f64", "mixed"), precision
         assert boundary_solver in ("dense", "cg"), boundary_solver
         self.boundary_solver = boundary_solver
+        if cg_tol is None:
+            cg_tol = 1e-5 if precision == "mixed" else 1e-12
         self.cg_tol = float(cg_tol)
         self.cg_max_iters = int(cg_max_iters)
         self.mesh = mesh

@@ -492,7 +492,16 @@ def make_solver(system: CompiledSystem, max_iterations: int):
     """A jitted solver for one compiled topology. Tolerances and lambda stay
     dynamic so config tweaks don't recompile; max_iterations only bounds the
     loop and is static. ``EZPZ_TPU_DBG_JAC=1`` prints the dense Jacobian per
-    iteration (the reference's ``dbg-jac`` feature)."""
+    iteration (the reference's ``dbg-jac`` feature).
+
+    Returns ONE packed 1-D array ``[x (n_vars) | sat (n_cons) | deg (n_cons)
+    | converged | iterations]`` rather than a result pytree: the public API
+    materializes every field of every solve, and a single device buffer
+    costs ONE device->host transfer instead of five — the difference between
+    ~one and ~five round trips per solve on a remote-tunnel TPU backend
+    (the reference's whole perf surface is single-solve latency,
+    ``ezpz-cli/src/main.rs:96-100``). Unpack with ``unpack_solver_result``.
+    """
     import os
 
     debug_jac = os.environ.get("EZPZ_TPU_DBG_JAC", "") not in ("", "0")
@@ -508,6 +517,24 @@ def make_solver(system: CompiledSystem, max_iterations: int):
             sat = system.satisfaction_from_residual(res.residual)
         else:
             sat = system.constraint_satisfaction(res.x)
-        return res, sat
+        dt = res.x.dtype
+        return jnp.concatenate([
+            res.x,
+            sat.astype(dt),
+            res.deg.astype(dt),
+            jnp.stack([res.converged.astype(dt),
+                       res.iterations.astype(dt)]),
+        ])
 
     return run
+
+
+def unpack_solver_result(packed, n_vars: int, n_cons: int):
+    """Split ``make_solver``'s packed host array back into
+    ``(x, sat, deg, converged, iterations)`` numpy views."""
+    x = packed[:n_vars]
+    sat = packed[n_vars:n_vars + n_cons] != 0.0
+    deg = packed[n_vars + n_cons:n_vars + 2 * n_cons] != 0.0
+    converged = bool(packed[n_vars + 2 * n_cons])
+    iterations = int(packed[n_vars + 2 * n_cons + 1])
+    return x, sat, deg, converged, iterations

@@ -64,6 +64,16 @@ class ConstraintSystem:
         _analysis, outcome = self._solve_inner(config, want_analysis=False)
         return outcome
 
+    def time_resolves(self, config: Config = Config(), iters: int = 100,
+                      pipelined: bool = False) -> float:
+        """Mean seconds per re-solve (the CLI's 100x timing protocol);
+        ``pipelined=True`` streams dispatches with one final sync — see
+        ``ezpz_tpu.api.time_resolves``."""
+        from ..api import time_resolves
+
+        return time_resolves(self.constraints, self.initial_guesses, config,
+                             iters=iters, pipelined=pipelined)
+
     def solve_with_config_analysis(self, config: Config = Config()) -> "OutcomeAnalysis":
         analysis, outcome = self._solve_inner(config, want_analysis=True)
         assert analysis is not None
