@@ -161,17 +161,17 @@ class BatchSolver:
                 sat = system.constraint_satisfaction(res.x, pars)
             return res, sat
 
+        # The unjitted vmapped solver is kept for FleetSolver, which jits
+        # the SAME callable with device shardings — guaranteeing the
+        # multi-device XLA path is the single-device path by construction.
         if batch_params:
-            self._run = jax.jit(
-                jax.vmap(solve_one, in_axes=(0, 0, None, None, None))
-            )
+            self._vmapped = jax.vmap(solve_one, in_axes=(0, 0, None, None, None))
         else:
-            self._run = jax.jit(
-                jax.vmap(
-                    lambda x0, rtol, stol, lam0: solve_one(x0, None, rtol, stol, lam0),
-                    in_axes=(0, None, None, None),
-                )
+            self._vmapped = jax.vmap(
+                lambda x0, rtol, stol, lam0: solve_one(x0, None, rtol, stol, lam0),
+                in_axes=(0, None, None, None),
             )
+        self._run = jax.jit(self._vmapped)
 
         if pallas_coarse:
             self._system32 = system.astype(jnp.float32)
@@ -207,16 +207,14 @@ class BatchSolver:
             cand -= unit
         return None
 
-    def _pallas_coarse_run(self, B: int):
-        """Per-batch-size cached: pack -> pallas fori LM -> unpack, jitted.
-        Returns None (XLA coarse fallback) when the batch doesn't tile or
-        the topology is too large to unroll in a kernel."""
-        if B in self._pallas_runs:
-            return self._pallas_runs[B]
+    def _pallas_coarse_fn(self, B: int):
+        """Unjitted pack -> pallas fori LM -> unpack for batch size B, or
+        None when the batch doesn't tile or the topology is too large to
+        unroll in a kernel. ``FleetSolver`` wraps this same callable in
+        ``shard_map`` (with B = per-device batch) to scale it out."""
         n_instances = sum(int(b.idx.shape[0]) for b in self.system.blocks)
         tile = self._pick_tile(B)
         if tile is None or not (0 < n_instances <= UNROLL_MAX_INSTANCES):
-            self._pallas_runs[B] = None
             return None
 
         from .ops.pallas_fleet import (
@@ -247,16 +245,21 @@ class BatchSolver:
             deg = unpack_rows(degp).astype(jnp.bool_)  # (B, n_cons)
             return x1, its, deg
 
-        run = jax.jit(run)
-        self._pallas_runs[B] = run
         return run
 
-    def _pallas_fused_run(self, B: int):
-        """Per-batch-size cached fused (coarse + double-single refine)
-        kernel. Returns None when the batch doesn't tile, the topology is
-        too large, or a kernel lacks a DS variant (-> coarse/XLA fallback)."""
-        if B in self._fused_runs:
-            return self._fused_runs[B]
+    def _pallas_coarse_run(self, B: int):
+        """Per-batch-size cached, jitted ``_pallas_coarse_fn`` (or None)."""
+        if B not in self._pallas_runs:
+            fn = self._pallas_coarse_fn(B)
+            self._pallas_runs[B] = None if fn is None else jax.jit(fn)
+        return self._pallas_runs[B]
+
+    def _pallas_fused_fn(self, B: int):
+        """Unjitted fused (coarse + double-single refine) kernel wrapper for
+        batch size B. Returns None when the batch doesn't tile, the topology
+        is too large, or a kernel lacks a DS variant (-> coarse/XLA
+        fallback). ``FleetSolver`` wraps this same callable in ``shard_map``
+        (with B = per-device batch) to scale the fused path out."""
         from .ops.pallas_fleet import (
             _ds_instance_list,
             make_fused_fleet_solver,
@@ -268,7 +271,6 @@ class BatchSolver:
         tile = self._pick_tile(B)
         if (tile is None or not (0 < n_instances <= UNROLL_MAX_INSTANCES)
                 or _ds_instance_list(self._system32) is None):
-            self._fused_runs[B] = None
             return None
 
         c = self.config
@@ -300,32 +302,114 @@ class BatchSolver:
             deg = unpack_rows(degp).astype(jnp.bool_)
             return x, its, conv, sat, deg
 
-        run = jax.jit(run)
-        self._fused_runs[B] = run
         return run
 
-    def solve(self, x0: jnp.ndarray, pars: Optional[Tuple] = None) -> BatchResult:
+    def _pallas_fused_run(self, B: int):
+        """Per-batch-size cached, jitted ``_pallas_fused_fn`` (or None)."""
+        if B not in self._fused_runs:
+            fn = self._pallas_fused_fn(B)
+            self._fused_runs[B] = None if fn is None else jax.jit(fn)
+        return self._fused_runs[B]
+
+    def _pad_to_tile(self, x0, pars):
+        """Pad the batch up to the kernel tile unit (1024 lanes) by
+        repeating the last sketch, so batches with ``B % 1024 != 0`` still
+        take the Pallas fast path instead of silently falling back to XLA.
+        Returns ``(x0_padded, pars_padded, B_original)``; callers slice
+        results back to ``B_original``. Padded lanes are real solves of a
+        duplicated sketch — no NaN or divergence risk."""
+        from .ops.pallas_fleet import SUB
+
+        B = int(x0.shape[0])
+        unit = 128 * SUB
+        Bp = max(unit, ((B + unit - 1) // unit) * unit)
+        if Bp == B:
+            return jnp.asarray(x0), pars, B
+        x0 = jnp.asarray(x0)
+        pad = Bp - B
+        x0p = jnp.concatenate(
+            [x0, jnp.broadcast_to(x0[-1:], (pad,) + x0.shape[1:])], axis=0)
+        parsp = pars if pars is None else tuple(
+            jnp.concatenate(
+                [p, jnp.broadcast_to(p[-1:], (pad,) + tuple(p.shape[1:]))],
+                axis=0)
+            for p in pars
+        )
+        return x0p, parsp, B
+
+    def _finish_stragglers(self, result: BatchResult, x0, pars) -> BatchResult:
+        """Re-solve the lanes the fixed-trip Pallas kernel left unconverged
+        through the full-budget XLA path (restarting from their original
+        guesses — the plain ``precision="mixed"`` semantics) and merge.
+
+        Costs one device->host transfer of the converged mask per batch;
+        when every lane converged (the common near-solution fleet) nothing
+        else runs. Straggler counts are padded to the next power of two so
+        repeat calls don't recompile per distinct count."""
+        conv = np.asarray(result.converged)
+        if conv.all():
+            return result
+        c = self.config
+        idx = np.flatnonzero(~conv)
+        m = 1 << (len(idx) - 1).bit_length()
+        idxp = np.concatenate([idx, np.full(m - len(idx), idx[-1], idx.dtype)])
+        x0j = jnp.asarray(x0)
+        args = (x0j[idxp],)
+        if self.batch_params:
+            args += (tuple(jnp.asarray(p)[idxp] for p in pars),)
+        res, sat = self._run(
+            *args, c.residual_tolerance, c.step_tolerance, c.initial_lambda
+        )
+        k = len(idx)
+        return BatchResult(
+            x=jnp.asarray(result.x).at[idx].set(res.x[:k]),
+            iterations=jnp.asarray(result.iterations).at[idx].set(
+                res.iterations[:k]),
+            converged=jnp.asarray(result.converged).at[idx].set(
+                res.converged[:k]),
+            satisfied=jnp.asarray(result.satisfied).at[idx].set(sat[:k]),
+            degenerate=jnp.asarray(result.degenerate).at[idx].set(res.deg[:k]),
+        )
+
+    def solve(self, x0: jnp.ndarray, pars: Optional[Tuple] = None,
+              finish_stragglers: bool = False) -> BatchResult:
+        """``finish_stragglers`` (Pallas paths only): lanes the fixed-trip
+        kernel leaves unconverged — fleets starting far from the solution
+        can need more LM iterations than ``pallas_trips + refine_trips`` —
+        are transparently re-solved through the full-budget XLA path and
+        merged, at the cost of one converged-mask transfer per batch. Off
+        by default: the flags are already honest, and latency-critical
+        callers may prefer no mid-solve host sync."""
         c = self.config
         if self.pallas_fused:
-            fused = self._pallas_fused_run(int(x0.shape[0]))
+            x0p, parsp, B = self._pad_to_tile(x0, pars)
+            fused = self._pallas_fused_run(int(x0p.shape[0]))
             if fused is not None:
-                x, its, conv, sat, deg = fused(jnp.asarray(x0), pars)
-                return BatchResult(
-                    x=x, iterations=its, converged=conv,
-                    satisfied=sat, degenerate=deg,
+                x, its, conv, sat, deg = fused(x0p, parsp)
+                out = BatchResult(
+                    x=x[:B], iterations=its[:B], converged=conv[:B],
+                    satisfied=sat[:B], degenerate=deg[:B],
                 )
+                if finish_stragglers:
+                    out = self._finish_stragglers(out, x0, pars)
+                return out
         if self.pallas_coarse:
-            coarse = self._pallas_coarse_run(int(x0.shape[0]))
+            x0p, parsp, B = self._pad_to_tile(x0, pars)
+            coarse = self._pallas_coarse_run(int(x0p.shape[0]))
             if coarse is not None:
-                x1, its, deg = coarse(jnp.asarray(x0), pars)
+                x1, its, deg = coarse(x0p, parsp)
                 res, sat = self._refine_run(
-                    x1, its, deg, pars,
+                    x1, its, deg, parsp,
                     c.residual_tolerance, c.step_tolerance, c.initial_lambda,
                 )
-                return BatchResult(
-                    x=res.x, iterations=res.iterations, converged=res.converged,
-                    satisfied=sat, degenerate=res.deg,
+                out = BatchResult(
+                    x=res.x[:B], iterations=res.iterations[:B],
+                    converged=res.converged[:B],
+                    satisfied=sat[:B], degenerate=res.deg[:B],
                 )
+                if finish_stragglers:
+                    out = self._finish_stragglers(out, x0, pars)
+                return out
         args = (x0,) + ((pars,) if self.batch_params else ())
         res, sat = self._run(
             *args, c.residual_tolerance, c.step_tolerance, c.initial_lambda
