@@ -1,0 +1,162 @@
+#!/usr/bin/env python3
+"""Mid-size-topology fleet benchmark (VERDICT r2 item 3).
+
+The headline bench solves fleets of 4-var blocks; real sketches are bigger.
+This measures fleets of chained-rectangle sketches at several topology
+sizes, through whichever path ``BatchSolver`` picks:
+
+* ``rect_chain[2]`` — 14 constraint instances, 14 vars: small enough for
+  the fully-fused Pallas kernel (all kernels DS-capable). Measured both
+  fused and with ``BENCH_FUSED=0`` (XLA mixed) for the gap.
+* ``rect_chain[4]`` — 26 instances, 26 vars: above the 24-instance unroll
+  ceiling -> the padded-gather XLA mixed path.
+* ``rect_chain[8]`` — 50 instances, 50 vars: ditto, larger.
+
+Protocol matches bench.py: per-rep fresh inputs (remote backends memoize
+identical calls), ONE combined host transfer per rep, median over reps.
+
+Usage:
+    python benches/midsize_bench.py [--copies 32768] [--reps 5] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+sys.path.insert(0, ROOT)
+
+
+def rect_chain(R: int):
+    """R rectangles chained corner-to-corner (the two_rectangles_dependent
+    construction, solver_bench.rs:60-139, generalized). Returns
+    (constraints, x0_guess). 6R+2 dim-1 constraints, 2(3R+1) vars."""
+    import numpy as np
+
+    import ezpz_tpu as ez
+
+    ids = ez.IdGenerator()
+    pts = [ez.DatumPoint.new(ids) for _ in range(3 * R + 1)]
+    seg = ez.DatumLineSegment
+    cons = [
+        ez.Constraint.Fixed(pts[0].id_x(), 1.0),
+        ez.Constraint.Fixed(pts[0].id_y(), 1.0),
+    ]
+    guess = [(1.0, 1.0)]
+    for k in range(R):
+        s, u, v, w = pts[3 * k], pts[3 * k + 1], pts[3 * k + 2], pts[3 * k + 3]
+        cons += [
+            ez.Constraint.Horizontal(seg(s, u)),   # bottom
+            ez.Constraint.Vertical(seg(u, v)),     # right
+            ez.Constraint.Horizontal(seg(v, w)),   # top
+            ez.Constraint.Vertical(seg(w, s)),     # left
+            ez.Constraint.Distance(s, u, 4.0),
+            ez.Constraint.Distance(s, w, 3.0),
+        ]
+        sx, sy = guess[3 * k]
+        guess += [(sx + 3.5, sy + 0.5),   # u ~ bottom-right
+                  (sx + 4.2, sy + 3.4),   # v ~ top-right (next rect's s)
+                  (sx + 0.5, sy + 2.6)]   # w ~ top-left
+    x0 = np.array([c for p in guess for c in p])
+    return cons, x0
+
+
+def bench_fleet(R: int, copies: int, reps: int, pallas_fused: bool):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ezpz_tpu.batch import BatchSolver
+    from ezpz_tpu.config import Config
+    from ezpz_tpu.models.compiled import compile_system
+
+    cons, x0 = rect_chain(R)
+    system = compile_system(cons, n_vars=len(x0))
+    n_instances = sum(int(b.idx.shape[0]) for b in system.blocks)
+
+    solver = BatchSolver(system, Config(), batch_params=True,
+                         precision="mixed", pallas_fused=pallas_fused)
+    x0b = jnp.tile(jnp.asarray(x0), (copies, 1))
+    variants = [x0b + (k * 1e-9) for k in range(reps + 1)]
+    pars = tuple(
+        jnp.tile(jnp.asarray(np.asarray(b.par)), (copies, 1, 1))
+        for b in system.blocks
+    )
+
+    def run_once(k):
+        out = solver.solve(variants[k], pars)
+        float(out.x.sum())  # force host materialization (remote backend)
+        return out
+
+    out = run_once(reps)  # warmup + correctness gate
+    conv = bool(np.asarray(out.converged).all())
+    sat = bool(np.asarray(out.satisfied).all())
+    r, _deg = jax.vmap(lambda x, *p: system.residual_and_flags(x, p))(
+        jnp.asarray(out.x, jnp.float64), *pars)
+    rmax = float(jnp.max(jnp.abs(r)))
+
+    times = []
+    for k in range(reps):
+        t0 = time.perf_counter()
+        run_once(k)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+
+    used_fused = bool(pallas_fused) and any(
+        v is not None for v in solver._fused_runs.values())
+    return {
+        "topology": f"rect_chain[{R}]",
+        "n_instances": n_instances,
+        "n_vars": system.n_vars,
+        "copies": copies,
+        "path": ("pallas_fused" if used_fused else "xla_mixed"),
+        "solves_per_sec": round(copies / dt, 1),
+        "us_per_solve": round(dt / copies * 1e6, 3),
+        "converged": conv,
+        "satisfied": sat,
+        "residual_f64_max": rmax,
+        "reps": reps,
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--copies", type=int, default=32768)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--only", default=None, help="substring filter")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import ezpz_tpu
+
+    ezpz_tpu.enable_compilation_cache(
+        os.environ.get("EZPZ_TPU_CACHE_DIR",
+                       os.path.join(ROOT, ".jax_cache")))
+
+    runs = [
+        ("rect_chain[2]+fused", lambda: bench_fleet(2, args.copies, args.reps, True)),
+        ("rect_chain[2]+xla", lambda: bench_fleet(2, args.copies, args.reps, False)),
+        ("rect_chain[4]+xla", lambda: bench_fleet(4, args.copies, args.reps, False)),
+        ("rect_chain[8]+xla", lambda: bench_fleet(8, args.copies, args.reps, False)),
+    ]
+    for name, fn in runs:
+        if args.only and args.only not in name:
+            continue
+        rec = fn()
+        rec["name"] = name
+        print(json.dumps(rec), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -200,7 +200,17 @@ class BatchSolver:
         from .ops.pallas_fleet import DEFAULT_TILE, SUB
 
         unit = 128 * SUB
-        cand = min(DEFAULT_TILE, (B // unit) * unit)
+        # VMEM-aware cap: the fused kernel materializes ~(n^2 + 4n + 4m +
+        # 2*n_cons) live (SUB, tile/SUB) f32 blocks (JtJ dominates), each
+        # tile*4 bytes. DEFAULT_TILE=16384 fits the 4-var headline topology
+        # comfortably but oversubscribes ~16MB VMEM somewhere around n=12;
+        # larger topologies take a proportionally smaller tile instead of
+        # failing to compile. (+64 blocks of slack for temporaries.)
+        n, m = self.system.n_vars, self.system.n_rows
+        blocks = n * n + 4 * n + 4 * m + 2 * self.system.n_constraints + 64
+        vmem_lanes = int(14e6) // (4 * blocks)
+        cap = min(DEFAULT_TILE, (vmem_lanes // unit) * unit)
+        cand = min(cap, (B // unit) * unit)
         while cand >= unit:
             if B % cand == 0:
                 return cand

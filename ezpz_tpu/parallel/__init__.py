@@ -5,6 +5,12 @@ equivalents)."""
 
 from .block_schur import BlockSchurSolver
 from .fleet import FleetSolver
+from .hier import ShardedBlockSchurSolver
 from .schur import ShardedSchurSolver
 
-__all__ = ["BlockSchurSolver", "FleetSolver", "ShardedSchurSolver"]
+__all__ = [
+    "BlockSchurSolver",
+    "FleetSolver",
+    "ShardedBlockSchurSolver",
+    "ShardedSchurSolver",
+]
