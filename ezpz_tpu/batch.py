@@ -238,8 +238,11 @@ class BatchSolver:
             self._system32,
             # The kernel's fixed trip count respects the iteration budget.
             min(self.pallas_trips, c.max_iterations),
-            5e-6,  # coarse tolerance: just above f32 round-off for O(1) coords
-            max(float(c.step_tolerance), 1e-7),
+            # O(1)-coordinate coarse tolerance; the kernel scales it (and
+            # floors the step tolerance) per lane by max(1, |x0|_inf) —
+            # solve_lm_mixed's scaling, computed in-kernel.
+            5e-6,
+            float(c.step_tolerance),
             float(c.initial_lambda),
             tile=tile,
             # Mosaic only targets TPU; everywhere else runs the (slow but
@@ -289,9 +292,12 @@ class BatchSolver:
             min(self.pallas_trips, c.max_iterations),
             self.refine_trips,
             c.max_iterations,
-            5e-6,  # coarse tolerance: just above f32 round-off for O(1) coords
+            # O(1)-coordinate coarse tolerance; scaled per lane in-kernel
+            # by max(1, |x0|_inf) with a 1e-7*scale step floor (the refine
+            # phase targets the ABSOLUTE f64 tolerances below).
+            5e-6,
             float(c.residual_tolerance),
-            max(float(c.step_tolerance), 1e-7),  # coarse: f32 step noise floor
+            float(c.step_tolerance),
             float(c.step_tolerance),
             float(c.initial_lambda),
             tile=tile,

@@ -226,6 +226,16 @@ def make_coarse_fleet_solver(
     every per-sketch scalar occupies an (SUB, B/SUB) block, tiled along the
     second axis in chunks of ``tile``/SUB columns. B must be a multiple of
     ``tile`` and ``tile`` a multiple of 128*SUB.
+
+    ``residual_tolerance``/``step_tolerance`` are the O(1)-coordinate
+    baselines: residuals are homogeneous degree 1 in length, so f32
+    round-off on them scales with coordinate magnitude. The kernel floors
+    both PER LANE at ``1e-7 * |x0|_inf`` — the f32 round-off/step noise
+    floor — computed in-kernel, so no host sync or per-scale recompile is
+    ever needed. (Scale-aware like ``solve_lm_mixed``'s coarse phase, but
+    only loosening once round-off actually exceeds the baseline: the f32
+    trips are the CHEAP iterations here, and freezing lanes earlier would
+    overload the costlier refinement phase.)
     """
     assert system32.dtype == jnp.float32, system32.dtype
     assert tile % (128 * SUB) == 0, tile
@@ -253,6 +263,20 @@ def make_coarse_fleet_solver(
         shape = (SUB, C)
         pars_t = [ref[:] for ref in par_refs]
         x0rows = [row(X0full, j) for j in range(n)]
+
+        # Per-lane coordinate scale: tolerances track sketch magnitude
+        # (see docstring). Constant across the loop, so it lives outside
+        # the carry.
+        scale = jnp.ones(shape, jnp.float32)
+        for j in range(n):
+            scale = jnp.maximum(scale, jnp.abs(x0rows[j]))
+        # The f32 phase stays productive down to its round-off floor
+        # (~1e-7 * scale), so the scaled target only LOOSENS the baseline
+        # once round-off actually exceeds it — freezing lanes at
+        # 5e-6*scale would skip cheap coarse trips and overload the
+        # (more expensive) refinement.
+        rtol_l = jnp.maximum(rtol, np.float32(1e-7) * scale)
+        stol_l = jnp.maximum(stol, np.float32(1e-7) * scale)
 
         r0_rows, deg0 = _residual_rows(system32, instances, x0rows, pars_t, shape)
         m = len(r0_rows)
@@ -288,14 +312,22 @@ def make_coarse_fleet_solver(
             F, I = carry
             xrows, r0_, r2_0, lam_0, it_0, iters_0, done_0, deg_0 = unpack(F, I)
             rinf = _rows_max_abs(r0_)
-            res_now = (rinf <= rtol) & ~done_0
+            res_now = (rinf <= rtol_l) & ~done_0
             act = ~done_0 & ~res_now
 
             _rows, jtj, jtr, deg_j = _jac_rows(
                 system32, instances, xrows, pars_t, rinf.shape
             )
+            # f32 damping floor (see solver._damping_floor): a rank-
+            # deficient JtJ + lam below f32 round-off is numerically
+            # non-SPD; without the floor the first two trips of every
+            # underconstrained solve are wasted on failed factorizations.
+            maxdiag = jnp.abs(jtj[0][0])
+            for i in range(1, n):
+                maxdiag = jnp.maximum(maxdiag, jnp.abs(jtj[i][i]))
+            lam_eff = jnp.maximum(lam_0, np.float32(1e-6) * maxdiag)
             for i in range(n):
-                jtj[i][i] = jtj[i][i] + lam_0
+                jtj[i][i] = jtj[i][i] + lam_eff
             d_rows, fail = _chol_solve_rows(jtj, [-t for t in jtr])
             step_inf = _rows_max_abs(d_rows)
 
@@ -319,7 +351,7 @@ def make_coarse_fleet_solver(
                 dj | ((act & (dgj | dgr)).astype(jnp.int32))
                 for dj, dgj, dgr in zip(deg_0, deg_j, deg_r)
             ]
-            step_conv = act & (~fail) & (step_inf <= stol)
+            step_conv = act & (~fail) & (step_inf <= stol_l)
             done = done_0 | res_now | step_conv
             iterations = jnp.where(res_now | step_conv, it_0, iters_0)
             it = jnp.where(act, it_0 + 1, it_0)
@@ -341,7 +373,7 @@ def make_coarse_fleet_solver(
             0, max_iterations, lambda _k, c: body(c), (F0, I0)
         )
         x_f, r_f, _r2, _lam, it_f, iters_f, done_f, deg_f = unpack(F_f, I_f)
-        res_conv = _rows_max_abs(r_f) <= rtol
+        res_conv = _rows_max_abs(r_f) <= rtol_l
         converged = done_f | res_conv
         iterations = jnp.where(
             done_f,
@@ -544,6 +576,17 @@ def make_fused_fleet_solver(
         x0rows = [row(XH, j) for j in range(n)]
         x0lo = [row(XL, j) for j in range(n)]
 
+        # Per-lane coordinate scale for the COARSE tolerances only (the
+        # refine phase targets the absolute f64 tolerance): residuals are
+        # homogeneous degree 1, so the f32 coarse target and step floor
+        # track max(1, |x0|_inf) — solve_lm_mixed's scaling, in-kernel.
+        scale = jnp.ones(shape, jnp.float32)
+        for j in range(n):
+            scale = jnp.maximum(scale, jnp.abs(x0rows[j]))
+        # See make_coarse_fleet_solver: loosen only past the f32 floor.
+        ctol_l = jnp.maximum(ctol, np.float32(1e-7) * scale)
+        cstol_l = jnp.maximum(cstol, np.float32(1e-7) * scale)
+
         # ---- phase 1: f32 coarse LM (semantics of make_coarse_fleet_solver)
         r0_rows, deg0 = _residual_rows(system32, instances, x0rows, parhi_t,
                                        shape)
@@ -574,14 +617,22 @@ def make_fused_fleet_solver(
             F, I = carry
             xrows, r0_, r2_0, lam_0, it_0, iters_0, done_0, deg_0 = unpack(F, I)
             rinf = _rows_max_abs(r0_)
-            res_now = (rinf <= ctol) & ~done_0
+            res_now = (rinf <= ctol_l) & ~done_0
             act = ~done_0 & ~res_now
 
             _rows, jtj, jtr, deg_j = _jac_rows(
                 system32, instances, xrows, parhi_t, rinf.shape
             )
+            # f32 damping floor (see solver._damping_floor): a rank-
+            # deficient JtJ + lam below f32 round-off is numerically
+            # non-SPD; without the floor the first two trips of every
+            # underconstrained solve are wasted on failed factorizations.
+            maxdiag = jnp.abs(jtj[0][0])
+            for i in range(1, n):
+                maxdiag = jnp.maximum(maxdiag, jnp.abs(jtj[i][i]))
+            lam_eff = jnp.maximum(lam_0, np.float32(1e-6) * maxdiag)
             for i in range(n):
-                jtj[i][i] = jtj[i][i] + lam_0
+                jtj[i][i] = jtj[i][i] + lam_eff
             d_rows, fail = _chol_solve_rows(jtj, [-t for t in jtr])
             step_inf = _rows_max_abs(d_rows)
 
@@ -605,7 +656,7 @@ def make_fused_fleet_solver(
                 dj | ((act & (dgj | dgr)).astype(jnp.int32))
                 for dj, dgj, dgr in zip(deg_0, deg_j, deg_r)
             ]
-            step_conv = act & (~fail) & (step_inf <= cstol)
+            step_conv = act & (~fail) & (step_inf <= cstol_l)
             done = done_0 | res_now | step_conv
             iterations = jnp.where(res_now | step_conv, it_0, iters_0)
             it = jnp.where(act, it_0 + 1, it_0)
@@ -620,7 +671,7 @@ def make_fused_fleet_solver(
             0, coarse_trips, lambda _k, c: coarse_body(c), (F0, I0)
         )
         xc, rc_, _r2c, lam_c, it_c, iters_c, done_c, deg_c = unpack(F_c, I_c)
-        res_conv_c = _rows_max_abs(rc_) <= ctol
+        res_conv_c = _rows_max_abs(rc_) <= ctol_l
         coarse_its = jnp.where(
             done_c,
             iters_c,
@@ -683,8 +734,16 @@ def make_fused_fleet_solver(
             rhs32 = [p[0] + p[1] for p in r_ds]
             _rw, jtj, jtr, deg_j = _jac_rows(
                 system32, instances, xhi, parhi_t, shape, rhs_rows=rhs32)
+            # f32 damping floor (see solver._damping_floor): a rank-
+            # deficient JtJ + lam below f32 round-off is numerically
+            # non-SPD; without the floor the first two trips of every
+            # underconstrained solve are wasted on failed factorizations.
+            maxdiag = jnp.abs(jtj[0][0])
+            for i in range(1, n):
+                maxdiag = jnp.maximum(maxdiag, jnp.abs(jtj[i][i]))
+            lam_eff = jnp.maximum(lam_0, np.float32(1e-6) * maxdiag)
             for i in range(n):
-                jtj[i][i] = jtj[i][i] + lam_0
+                jtj[i][i] = jtj[i][i] + lam_eff
             d_rows, fail = _chol_solve_rows(jtj, [-t for t in jtr])
             step_inf = _rows_max_abs(d_rows)
 

@@ -26,6 +26,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .config import LM_LAMBDA_DECR, LM_LAMBDA_INCR
 from .models.compiled import CompiledSystem
@@ -172,6 +173,26 @@ def _reference_result(final: LMState, res_conv, max_iterations: int) -> LMResult
     )
 
 
+def _damping_floor(jtj, lam):
+    """Effective LM damping for the factorization.
+
+    In f64 this is ``lam`` untouched (reference-exact, ``newton.rs:15``).
+    In f32 — the mixed path's coarse phase and refinement — a
+    rank-deficient JtJ (any underconstrained sketch: a lone distance
+    constraint leaves its tangential direction free) plus ``lam`` below
+    f32 round-off is numerically non-SPD: the Cholesky FAILS at
+    lam = 1e-9 and 1e-8, burning the first two iterations of every such
+    solve on rejected steps until the schedule escalates past ~1e-7
+    (measured: 2 wasted trips per solve at every coordinate scale). Floor
+    the f32 damping at 1e-6 * max|diag| — far above f32 round-off, far
+    below any meaningful curvature, and only for the factorization: the
+    carried ``lam`` and its schedule stay reference-exact."""
+    if np.dtype(jtj.dtype) != np.float32:
+        return lam
+    floor = np.float32(1e-6) * jnp.max(jnp.abs(jnp.diagonal(jtj)))
+    return jnp.maximum(lam, floor)
+
+
 def solve_lm(
     system: CompiledSystem,
     x0: jnp.ndarray,
@@ -198,7 +219,7 @@ def solve_lm(
 
     def step(s: LMState):
         _r, jtj, jtr, deg_j = system.normal_equations(s.x, pars)
-        d, fail = spd_solve(jtj + s.lam * eye, -jtr)
+        d, fail = spd_solve(jtj + _damping_floor(jtj, s.lam) * eye, -jtr)
         return d, fail, deg_j
 
     debug_fn = None
@@ -256,7 +277,7 @@ def solve_gauss_newton(
         res_conv = jnp.max(jnp.abs(r)) <= rtol
         act = ~res_conv
 
-        a = jtj + lam * eye
+        a = jtj + _damping_floor(jtj, lam) * eye
         d, fail = spd_solve(a, -jtr)
         step_inf = jnp.max(jnp.abs(d))
 
@@ -464,7 +485,7 @@ def solve_lm_refine(
 
     def step(s: LMState):
         jtj, jtr, deg_j = system32.refine_normal_equations(s.x, s.r, pars32)
-        d32, fail = spd_solve(jtj + s.lam * eye32, -jtr)
+        d32, fail = spd_solve(jtj + _damping_floor(jtj, s.lam) * eye32, -jtr)
         return d32.astype(f64), fail, deg_j
 
     # boundary_parity=False: the refine's ``converged`` is a pure

@@ -13,7 +13,7 @@ import math
 import os
 
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 import ezpz_tpu as ez
 from ezpz_tpu.constraints import Constraint, ConstraintRequest
@@ -112,11 +112,58 @@ def constraints(draw):
     )
 
 
+# Committed regression corpus — the analog of the reference's
+# ``proptest-regressions/tests/proptests.txt``: pinned pathological inputs
+# that replay on EVERY run without hypothesis's ephemeral ``.hypothesis/``
+# database. These are the adversarial shapes the fuzzer hunts (degenerate
+# geometry, self-referential datums, aliased ids, all-zero state); any
+# future falsifying example hypothesis finds should be added here.
+_Z = [0.0] * N_VARS
+_P0 = DatumPoint(0, 1)
+_L00 = DatumLineSegment(_P0, _P0)  # zero-length, self-referential
+_ARC0 = DatumCircularArc(center=_P0, start=_P0, end=_P0)  # fully collapsed
+
+
 # `just fuzz` raises the example count for long randomized runs.
 @settings(max_examples=int(os.environ.get("EZPZ_TPU_FUZZ_EXAMPLES", "20")), deadline=None)
 @given(
     cs=st.lists(constraints(), min_size=0, max_size=4),
     guesses=st.lists(vals, min_size=N_VARS, max_size=N_VARS),
+)
+@example(cs=[], guesses=_Z)
+@example(cs=[Constraint.Distance(_P0, _P0, 1.0)], guesses=_Z)
+@example(cs=[Constraint.ScalarEqual(3, 3)], guesses=_Z)
+@example(cs=[Constraint.Vertical(_L00), Constraint.Horizontal(_L00)], guesses=_Z)
+@example(
+    cs=[Constraint.LineTangentToCircle(
+        _L00, DatumCircle(center=_P0, radius=DatumDistance(0)))],
+    guesses=_Z,
+)
+@example(
+    cs=[Constraint.CircleTangentToCircle(
+        DatumCircle(center=_P0, radius=DatumDistance(0)),
+        DatumCircle(center=_P0, radius=DatumDistance(0)))],
+    guesses=_Z,
+)
+@example(cs=[Constraint.Symmetric(_L00, _P0, _P0)], guesses=_Z)
+@example(cs=[Constraint.PointArcCoincident(_ARC0, _P0)], guesses=_Z)
+@example(cs=[Constraint.ArcLength(_ARC0, 0.0)], guesses=_Z)
+@example(cs=[Constraint.Arc(_ARC0), Constraint.ArcRadius(_ARC0, -1.0)], guesses=_Z)
+@example(
+    cs=[Constraint.Midpoint(_L00, _P0),
+        Constraint.PointLineDistance(_P0, _L00, -100.0)],
+    guesses=_Z,
+)
+@example(
+    # Conflicting fixes + an aliased distance: inconsistent AND degenerate.
+    cs=[Constraint.Fixed(0, -100.0), Constraint.Fixed(0, 100.0),
+        Constraint.DistanceVar(_P0, _P0, DatumDistance(0))],
+    guesses=_Z,
+)
+@example(
+    cs=[Constraint.PointsAtAngle(_P0, _P0, _P0, AngleKind.Other,
+                                 Angle.from_degrees(0.0))],
+    guesses=_Z,
 )
 def test_fuzz_solve_never_crashes(cs, guesses):
     reqs = [ConstraintRequest.highest_priority(c) for c in cs]

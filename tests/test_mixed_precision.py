@@ -158,6 +158,26 @@ def test_mixed_large_coordinates():
     assert int(res.iterations) <= int(baseline.iterations) + 4
 
 
+def test_mixed_1e6_scale_matches_origin_behavior():
+    """Coordinate scale 1e6 (VERDICT r2 item 7): f32 absolute round-off is
+    ~0.06 here, four orders above the old absolute 5e-6 coarse target. The
+    scale-aware coarse tolerance keeps phase 1 productive and the f64
+    refinement still lands the ABSOLUTE 1e-8 residual; iteration counts
+    stay comparable to the O(1) sketch."""
+    constraints, x0 = _square_system()
+    constraints[0] = Constraint.Fixed(0, 1.0e6)
+    constraints[1] = Constraint.Fixed(1, 1.0e6)
+    x0 = x0 + 1.0e6
+    res = _mixed_solve(constraints, x0)
+    assert bool(res.converged)
+    assert float(jnp.max(jnp.abs(res.residual))) <= 1e-8
+    ref = _f64_solve(constraints, x0)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), atol=1e-4)
+    origin = _square_system()
+    baseline = _mixed_solve(*origin)
+    assert int(res.iterations) <= int(baseline.iterations) + 4
+
+
 def test_multi_topology_solver_matches_per_bucket():
     """MultiTopologySolver (all buckets in one jitted call) must agree with
     per-bucket BatchSolver dispatches."""
