@@ -89,6 +89,32 @@ def test_ds_kernels_match_f64_kernels():
                                        atol=1e-10, err_msg=name)
 
 
+def test_ds_degeneracy_threshold_boundary():
+    """The deg guard fires at |gap|^2 <= ~1e-8 = EPSILON^2 — the SAME
+    threshold as the f32/f64 kernels (kernels._EPS2). Probe both sides of
+    the boundary: a 3.1e-4-long segment (q ~ 9.6e-8, inside the decade
+    ABOVE the threshold) must NOT flag, a 5e-5-long one (q ~ 2.5e-9) must.
+    Kills the mutation-found gap where _EPS2 could drift a decade without
+    any test noticing (mutants ds.py '1e-08 -> 1e-07')."""
+    from ezpz_tpu.ops.kernels import KERNELS
+
+    for gap, want_deg in ((3.1e-4, False), (5e-5, True)):
+        x0 = np.array([1.0, 2.5])
+        y0 = np.array([-0.5, 0.25])
+        x1, y1 = x0 + gap, y0
+        d = np.hypot(x0 - x1, y0 - y1)
+        v64 = [x0, y0, x1, y1]
+        p64 = [d]
+        _ref, dg64 = jax.vmap(
+            lambda *a: KERNELS["distance"].fn(a[:4], a[4:])
+        )(*[jnp.asarray(t) for t in (v64 + p64)])
+        rows, dg = D.dsk_distance(
+            [D.split_f64(t) for t in v64], [D.split_f64(t) for t in p64])
+        assert bool(np.asarray(dg).all()) == want_deg
+        # and the DS flag agrees with the f64 kernel's flag
+        assert np.array_equal(np.asarray(dg), np.asarray(dg64))
+
+
 def test_ds_symmetric_degenerate_nonzero_matches_f64_kernel():
     """On degenerate-but-NONZERO mirror lines (|q-p|^4 < EPSILON, q != p)
     the f32/f64 kernel's residual VALUE divides by the true |q-p|^2 (only

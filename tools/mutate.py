@@ -119,6 +119,14 @@ def main(argv=None) -> int:
             except subprocess.TimeoutExpired:
                 rc = -1  # hang = killed (a mutant that loops forever)
             dt = time.time() - t0
+            if rc == 5:
+                # pytest "no tests collected": the SELECTION is broken (e.g.
+                # a -k expression that also matches the module name), so no
+                # mutant is being tested at all. Abort loudly rather than
+                # report a vacuous 100% kill rate.
+                print(f"FATAL: selection collected no tests (pytest exit 5) "
+                      f"for mutant '{desc}' — fix the pytest selection.")
+                return 3
             if rc == 0:
                 survived.append(desc)
                 verdict = "SURVIVED"
