@@ -46,7 +46,8 @@ def build_problem(lines: int):
 
 
 def run(lines: int = 600, copies: int = 64, precision: str = "mixed",
-        reps: int = 5) -> dict:
+        reps: int = 5, n_parts=None, boundary_solver: str = "dense",
+        latency: bool = False) -> dict:
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -55,7 +56,8 @@ def run(lines: int = 600, copies: int = 64, precision: str = "mixed",
 
     constraints, x0 = build_problem(lines)
     n_vars = len(x0)
-    solver = BlockSchurSolver(constraints, n_vars, precision=precision)
+    solver = BlockSchurSolver(constraints, n_vars, precision=precision,
+                              n_parts=n_parts, boundary_solver=boundary_solver)
     x0s = jnp.tile(jnp.asarray(x0), (copies, 1))
 
     # Warmup/compile + correctness gate. Distinct inputs per rep: a
@@ -78,10 +80,24 @@ def run(lines: int = 600, copies: int = 64, precision: str = "mixed",
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]
 
+    # batch=1 latency: one synchronous coupled solve (warm), the
+    # interactive-use complement of the batched throughput number.
+    lat_us = None
+    if latency:
+        solver.solve(x0)  # compile the unbatched executable
+        lts = []
+        for k in range(reps):
+            t0 = time.perf_counter()
+            solver.solve(np.asarray(x0) + (k + 1) * 1e-9)
+            lts.append(time.perf_counter() - t0)
+        lat_us = round(sorted(lts)[len(lts) // 2] * 1e6, 1)
+
     return {
         "metric": "coupled_system_solves_per_sec",
         "value": round(copies / dt, 2),
         "unit": "solves/sec",
+        "batch1_latency_us": lat_us,
+        "boundary_solver": boundary_solver,
         "detail": {
             "system": f"{n_vars} vars / {len(constraints)} eqs coupled chain"
                       f" x {copies} copies (NOT block-diagonal)",
@@ -103,6 +119,10 @@ def main(argv=None) -> int:
     ap.add_argument("--copies", type=int, default=64)
     ap.add_argument("--precision", choices=["mixed", "f64"], default="mixed")
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--n-parts", type=int, default=None)
+    ap.add_argument("--boundary", choices=["dense", "cg"], default="dense")
+    ap.add_argument("--latency", action="store_true",
+                    help="also measure batch=1 synchronous latency")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=None, help="also write JSON artifact here")
     args = ap.parse_args(argv)
@@ -114,7 +134,9 @@ def main(argv=None) -> int:
     import ezpz_tpu
 
     ezpz_tpu.enable_compilation_cache(os.path.join(HERE, ".jax_cache"))
-    out = run(args.lines, args.copies, args.precision, args.reps)
+    out = run(args.lines, args.copies, args.precision, args.reps,
+              n_parts=args.n_parts, boundary_solver=args.boundary,
+              latency=args.latency)
     print(json.dumps(out))
     if args.out:
         with open(args.out, "w") as f:

@@ -78,6 +78,32 @@ from .outcomes import SolveOutcome, FailureOutcome, FreedomAnalysis, SolveOutcom
 from .api import solve, solve_analysis
 
 
+def _host_fingerprint() -> str:
+    """8-hex digest of this host's CPU feature set (+ arch).
+
+    XLA:CPU serializes AOT-compiled executables into the persistent cache
+    with the COMPILE machine's feature baseline baked in; loading one on a
+    host with different features is at best rejected with a warning and at
+    worst a SIGILL/segfault inside the cache reader (observed: a full-suite
+    crash in ``compilation_cache.get_executable_and_time`` on entries
+    written by an avx512/amx host). Namespacing the cache directory by the
+    host's own features makes cross-host loads structurally impossible.
+    """
+    import hashlib as _hashlib
+    import platform as _platform
+
+    tag = _platform.machine()
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    tag += " " + " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return _hashlib.md5(tag.encode()).hexdigest()[:8]
+
+
 def enable_compilation_cache(path: str = None) -> str:
     """Turn on JAX's persistent compilation cache (opt-in).
 
@@ -85,7 +111,9 @@ def enable_compilation_cache(path: str = None) -> str:
     process restarts warm-start instead of re-paying XLA compiles (measured
     3.8s -> 0.76s per executable through a remote-tunnel TPU backend, and
     minutes -> seconds for the big batched solvers). Default location:
-    ``~/.cache/ezpz_tpu/jax``. Returns the cache directory used.
+    ``~/.cache/ezpz_tpu/jax``. The directory is namespaced by a host-CPU
+    fingerprint (see ``_host_fingerprint``) so entries AOT-compiled on a
+    different machine are never loaded. Returns the cache directory used.
     """
     import os as _os
 
@@ -94,6 +122,7 @@ def enable_compilation_cache(path: str = None) -> str:
             "EZPZ_TPU_CACHE_DIR",
             _os.path.join(_os.path.expanduser("~"), ".cache", "ezpz_tpu", "jax"),
         )
+    path = _os.path.join(path, "host-" + _host_fingerprint())
     _jax.config.update("jax_compilation_cache_dir", path)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     return path

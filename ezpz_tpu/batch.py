@@ -143,6 +143,20 @@ class BatchSolver:
         # final weighted residual (one full f64 residual pass saved/solve).
         fast_sat = system.all_weights_positive()
 
+        # Mid-size topologies (24 < n <= 64, past the fully-unrolled
+        # Cholesky) in this ALWAYS-BATCHED context route the normal-equation
+        # solve to the matmul-free column-sweep tier instead of XLA's
+        # serialized small-matrix cholesky (ops/linalg.spd_solve_batched;
+        # measured on v5e — table in TUNING.md).
+        from .ops.linalg import UNROLL_COL_MAX_N, UNROLL_MAX_N, spd_solve_batched
+        from .ops.linalg import spd_solve as _spd_plain
+
+        spd = (
+            spd_solve_batched
+            if UNROLL_MAX_N < system.n_vars <= UNROLL_COL_MAX_N
+            else _spd_plain
+        )
+
         def solve_one(x0, pars, rtol, stol, lam0):
             if precision == "mixed":
                 pars32 = (
@@ -151,10 +165,11 @@ class BatchSolver:
                 )
                 res = solve_lm_mixed(
                     ev64, ev32, x0, max_iterations, rtol, stol, lam0,
-                    pars64=pars, pars32=pars32,
+                    pars64=pars, pars32=pars32, spd=spd,
                 )
             else:
-                res = solve_lm(ev64, x0, max_iterations, rtol, stol, lam0, pars=pars)
+                res = solve_lm(ev64, x0, max_iterations, rtol, stol, lam0,
+                               pars=pars, spd=spd)
             if fast_sat:
                 sat = system.satisfaction_from_residual(res.residual)
             else:
@@ -182,7 +197,7 @@ class BatchSolver:
                 pars32 = tuple(p.astype(jnp.float32) for p in pars)
                 res = solve_lm_refine(
                     ev64, ev32, x1, its, deg, max_iterations, rtol, stol,
-                    lam0, pars64=pars, pars32=pars32,
+                    lam0, pars64=pars, pars32=pars32, spd=spd,
                 )
                 if fast_sat:
                     sat = system.satisfaction_from_residual(res.residual)
@@ -504,18 +519,26 @@ class MultiTopologySolver:
                 fast_sat = system.all_weights_positive()
                 ev64 = _maybe_unroll(system)
                 ev32 = _maybe_unroll(system32) if system32 is not None else None
+                from .ops.linalg import (UNROLL_COL_MAX_N, UNROLL_MAX_N,
+                                         spd_solve, spd_solve_batched)
+
+                spd = (
+                    spd_solve_batched
+                    if UNROLL_MAX_N < system.n_vars <= UNROLL_COL_MAX_N
+                    else spd_solve
+                )
 
                 def one(x0, p, system=system, ev64=ev64, ev32=ev32,
-                        fast_sat=fast_sat):
+                        fast_sat=fast_sat, spd=spd):
                     if precision == "mixed":
                         p32 = tuple(q.astype(jnp.float32) for q in p)
                         res = solve_lm_mixed(
                             ev64, ev32, x0, max_iterations, rtol, stol,
-                            lam0, pars64=p, pars32=p32,
+                            lam0, pars64=p, pars32=p32, spd=spd,
                         )
                     else:
                         res = solve_lm(ev64, x0, max_iterations, rtol, stol,
-                                       lam0, pars=p)
+                                       lam0, pars=p, spd=spd)
                     if fast_sat:
                         sat = system.satisfaction_from_residual(res.residual)
                     else:

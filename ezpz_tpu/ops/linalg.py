@@ -297,15 +297,65 @@ def _colunroll_spd_solve(A: jnp.ndarray, B: jnp.ndarray):
     return x, fail
 
 
+def _midsize_spd_solve(A: jnp.ndarray, B: jnp.ndarray):
+    """Matmul-FREE mid-size tier for batched contexts (24 < n <= 64).
+
+    ``_colunroll_spd_solve`` pairs the column-unrolled factorization with
+    explicit-inverse MATMULS — and those matmuls are what lose 6x under
+    ``jax.default_matmul_precision("highest")`` (the setting every
+    correctness-critical solver path bakes in). This tier keeps the
+    vector-op factorization (``_chol_small``: one (n,)-vector update per
+    (j, k) column pair, ~n^2/2 VPU ops that broadcast over a vmapped
+    batch) and replaces the solves with column-sweep substitutions — one
+    (n,)-vector update per column, 2n ops per RHS — so NO matmul appears
+    anywhere and matmul-precision context is irrelevant. Works for one
+    RHS ``(n,)`` or many ``(n, m)``; batch via vmap.
+    """
+    n = A.shape[-1]
+    L = _chol_small(A)
+    diag = jnp.diagonal(L)
+    fail = ~jnp.all(jnp.isfinite(diag))
+    L = jnp.where(jnp.isfinite(L), L, 0.0)
+    idx = jnp.arange(n)
+    d = jnp.diagonal(L)
+    safe = jnp.where(jnp.abs(d) > 0.0, d, 1.0)
+    L = L.at[idx, idx].set(safe)
+
+    vec = B.ndim == 1
+    r = B[:, None] if vec else B  # (n, m)
+    # Forward: y_j = r_j / L_jj, then eliminate column j from the
+    # remainder. Rows <= j pick up junk from the full-column update, but
+    # each y_j is read BEFORE its row is touched and rows < j are never
+    # read again, so only the (correct) trailing rows matter.
+    ys = []
+    for j in range(n):
+        yj = r[j] / L[j, j]
+        ys.append(yj)
+        r = r - L[:, j][:, None] * yj[None, :]
+    y = jnp.stack(ys, axis=0)  # (n, m)
+    # Backward with L^T: column sweep in reverse using ROWS of L.
+    xs = [None] * n
+    q = y
+    for j in reversed(range(n)):
+        xj = q[j] / L[j, j]
+        xs[j] = xj
+        q = q - L[j, :][:, None] * xj[None, :]
+    x = jnp.stack(xs, axis=0)
+    x = jnp.where(fail, jnp.zeros_like(x), x)
+    return (x[:, 0] if vec else x), fail
+
+
 def spd_solve_batched(A: jnp.ndarray, b: jnp.ndarray):
     """``spd_solve`` for callers that vmap MANY solves of this shape in
-    one program AND tolerate default matmul precision: the 24 < n <= 64
-    tier uses the column-unrolled path (see ``_colunroll_spd_solve`` for
-    the measured trade-off — under highest-precision matmuls prefer plain
-    ``spd_solve``)."""
+    one program: the 24 < n <= 64 tier uses the matmul-free column-sweep
+    path (``_midsize_spd_solve``), which beats XLA's serialized
+    small-matrix cholesky in heavily-batched regimes at ANY matmul
+    precision (measurement table in the function docstring / TUNING.md).
+    For a SINGLE matrix the serialized column chain is ~10x slower than
+    XLA — use plain ``spd_solve`` there."""
     n = A.shape[-1]
     if UNROLL_MAX_N < n <= UNROLL_COL_MAX_N:
-        return _colunroll_spd_solve(A, b)
+        return _midsize_spd_solve(A, b)
     return spd_solve(A, b)
 
 
@@ -313,7 +363,7 @@ def spd_solve_multi_batched(A: jnp.ndarray, B: jnp.ndarray):
     """``spd_solve_multi`` with the batched-context mid-size tier."""
     n = A.shape[-1]
     if UNROLL_MAX_N < n <= UNROLL_COL_MAX_N:
-        return _colunroll_spd_solve(A, B)
+        return _midsize_spd_solve(A, B)
     return spd_solve_multi(A, B)
 
 

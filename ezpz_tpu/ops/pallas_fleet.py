@@ -318,7 +318,7 @@ def make_coarse_fleet_solver(
             _rows, jtj, jtr, deg_j = _jac_rows(
                 system32, instances, xrows, pars_t, rinf.shape
             )
-            # f32 damping floor (see solver._damping_floor): a rank-
+            # f32 damping floor (see solver.damped_spd_solve): a rank-
             # deficient JtJ + lam below f32 round-off is numerically
             # non-SPD; without the floor the first two trips of every
             # underconstrained solve are wasted on failed factorizations.
@@ -623,7 +623,7 @@ def make_fused_fleet_solver(
             _rows, jtj, jtr, deg_j = _jac_rows(
                 system32, instances, xrows, parhi_t, rinf.shape
             )
-            # f32 damping floor (see solver._damping_floor): a rank-
+            # f32 damping floor (see solver.damped_spd_solve): a rank-
             # deficient JtJ + lam below f32 round-off is numerically
             # non-SPD; without the floor the first two trips of every
             # underconstrained solve are wasted on failed factorizations.
@@ -734,7 +734,7 @@ def make_fused_fleet_solver(
             rhs32 = [p[0] + p[1] for p in r_ds]
             _rw, jtj, jtr, deg_j = _jac_rows(
                 system32, instances, xhi, parhi_t, shape, rhs_rows=rhs32)
-            # f32 damping floor (see solver._damping_floor): a rank-
+            # f32 damping floor (see solver.damped_spd_solve): a rank-
             # deficient JtJ + lam below f32 round-off is numerically
             # non-SPD; without the floor the first two trips of every
             # underconstrained solve are wasted on failed factorizations.

@@ -49,7 +49,8 @@ from ..config import Config
 from ..constraints import Constraint
 from ..models.compiled import EPSILON, compile_system
 from ..ops.kernels import KERNELS
-from ..ops.linalg import spd_solve, spd_solve_multi
+from ..ops.linalg import (spd_solve, spd_solve_batched, spd_solve_multi,
+                          spd_solve_multi_batched)
 from ..solver import LMResult, _init_state, _lm_while_loop, _reference_result
 from .schur import partition_variables
 
@@ -91,8 +92,24 @@ class BlockSchurSolver:
         config: Config = Config(),
         precision: str = "mixed",
         dtype=jnp.float64,
+        boundary_solver: str = "dense",
+        cg_tol: Optional[float] = None,
+        cg_max_iters: int = 400,
     ):
+        """``boundary_solver="cg"``: solve the (n_b, n_b) Schur system by
+        Jacobi-preconditioned CG using only the per-part factors — the
+        Schur matrix is never materialized and its O(n_b^3) Cholesky
+        (the critical path once the boundary grows past a few hundred
+        variables) disappears. ``cg_tol`` is relative to |rhs|; default
+        picks 1e-5 for f32 linear algebra (mixed) / 1e-12 for f64 — the
+        LM accept/reject loop absorbs the inexactness (inexact Newton)."""
         assert precision in ("f64", "mixed"), precision
+        assert boundary_solver in ("dense", "cg"), boundary_solver
+        self.boundary_solver = boundary_solver
+        if cg_tol is None:
+            cg_tol = 1e-5 if precision == "mixed" else 1e-12
+        self.cg_tol = float(cg_tol)
+        self.cg_max_iters = int(cg_max_iters)
         if n_parts is None and part_of_var is None:
             # Target interiors near the unrolled-Cholesky tier.
             n_parts = max(1, int(np.ceil(n_vars / 40)))
@@ -299,6 +316,13 @@ class BlockSchurSolver:
         jt = self.jac_dtype
         P, m, kb, n_b = self.P, self.m, self.kb, self.n_b
         jtj, jtr, deg_j = self._partition_normal_eq(x)
+        # No f32 damping floor here (contrast solver._damping_floor): big
+        # coupled systems legitimately have softest-mode curvatures near
+        # f32 round-off (a P-part chain's smallest JtJ eigenvalue scales
+        # like 1/P^2 ~ 3e-6 at 600 parts), and flooring lambda there
+        # MEASURABLY slows convergence (2 -> 11 LM iterations on the
+        # 600-line coupled fixture). A genuinely singular interior just
+        # pays the reference's reject-and-redamp cascade (newton.rs:96-99).
         lam_j = lam.astype(jt)
         imask = jnp.asarray(self.imask, jt)  # (P, m)
         eye_m = jnp.eye(m, dtype=jt)
@@ -313,21 +337,50 @@ class BlockSchurSolver:
         b_i = -jtr[:, :m]
         b_b = -jtr[:, m:]
 
-        u, fail_i = jax.vmap(spd_solve)(a_ii, b_i)
+        # Interiors are a heavily-batched small-matrix regime (P vmapped
+        # solves, x B when fleets vmap over this): 24 < n_loc <= 64 routes
+        # to the matmul-free column-sweep tier; <= 24 is unchanged.
+        u, fail_i = jax.vmap(spd_solve_batched)(a_ii, b_i)
         if n_b:
-            w_mat, _fw = jax.vmap(spd_solve_multi)(a_ii, a_ib)
-            s_contrib = a_bb - jnp.einsum("pmk,pmj->pkj", a_ib, w_mat)
+            w_mat, _fw = jax.vmap(spd_solve_multi_batched)(a_ii, a_ib)
             rhs_contrib = b_b - jnp.einsum("pmk,pm->pk", a_ib, u)
-            s_buf = jnp.zeros((n_b + 1, n_b + 1), jt)
-            s_buf = s_buf.at[
-                self.bmap[:, :, None], self.bmap[:, None, :]
-            ].add(s_contrib)
             rhs_buf = jnp.zeros((n_b + 1,), jt).at[self.bmap].add(rhs_contrib)
-            s_mat = s_buf[:n_b, :n_b] + lam_j * jnp.eye(n_b, dtype=jt)
-            d_b, fail_b = spd_solve(s_mat, rhs_buf[:n_b])
+            rhs = rhs_buf[:n_b]
+            if self.boundary_solver == "cg":
+                from .hier import _pcg
+
+                bmap = jnp.asarray(self.bmap)
+
+                def s_matvec(v):
+                    v_ext = jnp.concatenate([v, jnp.zeros((1,), jt)])
+                    v_loc = v_ext[bmap]  # (P, kb)
+                    t = jnp.einsum("pkj,pj->pk", a_bb, v_loc)
+                    t = t - jnp.einsum(
+                        "pmk,pm->pk", a_ib,
+                        jnp.einsum("pmk,pk->pm", w_mat, v_loc))
+                    buf = jnp.zeros((n_b + 1,), jt).at[bmap].add(t)
+                    return buf[:n_b] + lam_j * v
+
+                diag_local = jnp.einsum("pkk->pk", a_bb) - jnp.einsum(
+                    "pmk,pmk->pk", a_ib, w_mat)
+                diag_s = jnp.zeros((n_b + 1,), jt).at[bmap].add(
+                    diag_local)[:n_b] + lam_j
+                minv = jnp.where(diag_s > 0, 1.0 / diag_s,
+                                 jnp.ones_like(diag_s))
+                tol = self.cg_tol * jnp.sqrt(jnp.vdot(rhs, rhs))
+                d_b = _pcg(s_matvec, rhs, minv, tol, self.cg_max_iters)
+                fail_b = jnp.asarray(False)
+            else:
+                s_contrib = a_bb - jnp.einsum("pmk,pmj->pkj", a_ib, w_mat)
+                s_buf = jnp.zeros((n_b + 1, n_b + 1), jt)
+                s_buf = s_buf.at[
+                    self.bmap[:, :, None], self.bmap[:, None, :]
+                ].add(s_contrib)
+                s_mat = s_buf[:n_b, :n_b] + lam_j * jnp.eye(n_b, dtype=jt)
+                d_b, fail_b = spd_solve(s_mat, rhs)
             d_b_ext = jnp.concatenate([d_b, jnp.zeros((1,), jt)])
             d_b_loc = d_b_ext[self.bmap]  # (P, kb)
-            d_i, _f2 = jax.vmap(spd_solve)(
+            d_i, _f2 = jax.vmap(spd_solve_batched)(
                 a_ii, b_i - jnp.einsum("pmk,pk->pm", a_ib, d_b_loc)
             )
         else:

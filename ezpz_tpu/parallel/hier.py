@@ -48,7 +48,8 @@ from ..config import LM_LAMBDA_DECR, LM_LAMBDA_INCR, Config
 from ..constraints import Constraint
 from ..models.compiled import EPSILON
 from ..ops.kernels import KERNELS
-from ..ops.linalg import spd_solve, spd_solve_multi
+from ..ops.linalg import (spd_solve, spd_solve_batched, spd_solve_multi,
+                          spd_solve_multi_batched)
 from .schur import partition_variables
 
 try:  # jax >= 0.4.35
@@ -378,6 +379,8 @@ class ShardedBlockSchurSolver:
                 """Damped two-level Schur step at replicated x.
                 Returns (d (n_vars,) f64 replicated, fail, deg_j)."""
                 jtj, jtr, deg_j = normal_eq(x)
+                # No f32 damping floor (see block_schur.py: softest modes
+                # of big coupled systems sit near f32 round-off).
                 lam_j = lam.astype(jt)
                 eye_m = jnp.eye(m, dtype=jt)
                 a_ii = (
@@ -390,10 +393,14 @@ class ShardedBlockSchurSolver:
                 b_i = -jtr[:, :m]
                 b_b = -jtr[:, m:]
 
-                u, fail_i = jax.vmap(spd_solve)(a_ii, b_i)
+                # Interiors are a HEAVILY-BATCHED small-matrix regime: the
+                # *_batched tiers route 24 < n_loc <= 64 to the matmul-free
+                # column-sweep solve (ops/linalg._midsize_spd_solve) instead
+                # of XLA's serialized small cholesky; <= 24 is unchanged.
+                u, fail_i = jax.vmap(spd_solve_batched)(a_ii, b_i)
                 fail_i = jnp.any(fail_i)
                 if n_b:
-                    w_mat, _fw = jax.vmap(spd_solve_multi)(a_ii, a_ib)
+                    w_mat, _fw = jax.vmap(spd_solve_multi_batched)(a_ii, a_ib)
 
                     def scatter_b(contrib):
                         # (Pl, kb) -> (n_b,) local sum (dummy row dropped)
@@ -437,7 +444,7 @@ class ShardedBlockSchurSolver:
                         d_b, fail_b = spd_solve(s_mat, rhs)
                     d_b_ext = jnp.concatenate([d_b, jnp.zeros((1,), jt)])
                     d_b_loc = d_b_ext[bmap]
-                    d_i, _f2 = jax.vmap(spd_solve)(
+                    d_i, _f2 = jax.vmap(spd_solve_batched)(
                         a_ii, b_i - jnp.einsum("pmk,pk->pm", a_ib, d_b_loc)
                     )
                 else:

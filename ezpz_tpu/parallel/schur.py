@@ -408,6 +408,9 @@ class ShardedSchurSolver:
                 _r2, _ri, deg_j, _w, jtj, jtr = self._local_eval(
                     x_local(s["x_i"], s["x_b"]), blocks_dev, want_jac=True
                 )
+                # No f32 damping floor here: large coupled systems have
+                # softest-mode curvatures near f32 round-off, and flooring
+                # lambda there slows convergence (see block_schur.py).
                 lam_j = s["lam"].astype(jt)
                 b_i = -jtr[:n_i]
                 b_b = -jtr[n_i:]
@@ -419,8 +422,10 @@ class ShardedSchurSolver:
 
                 if n_b:
                     w_mat, _fw = spd_solve_multi(a_ii, a_ib)
-                    rhs = jax.lax.psum(b_b - a_ib.T @ u, "d")
+                    rhs_part = b_b - a_ib.T @ u
                     if self.boundary_solver == "cg":
+                        rhs = jax.lax.psum(rhs_part, "d")
+
                         # Distributed boundary solve: CG state is replicated
                         # (n_b,) vectors; only the matvec is distributed —
                         # one (n_b,) psum per CG iteration, no (n_b, n_b)
@@ -434,8 +439,16 @@ class ShardedSchurSolver:
                                   tol, self.cg_max_iters)
                         fail_b = jnp.asarray(False)
                     else:
+                        # ONE fused psum for the Schur matrix AND its rhs
+                        # (rhs rides as an extra row): every collective
+                        # launch is serialization overhead the single-chip
+                        # path doesn't pay.
                         s_part = a_bb_part - a_ib.T @ w_mat
-                        s_mat = jax.lax.psum(s_part, "d") + lam_j * eye_b
+                        packed = jax.lax.psum(
+                            jnp.concatenate([s_part, rhs_part[None, :]], 0),
+                            "d")
+                        s_mat = packed[:n_b] + lam_j * eye_b
+                        rhs = packed[n_b]
                         d_b, fail_b = spd_solve(s_mat, rhs)
                     d_i, _fi2 = spd_solve(a_ii, b_i - a_ib @ d_b)
                     step_inf_b = jnp.max(jnp.abs(d_b))
@@ -448,19 +461,22 @@ class ShardedSchurSolver:
                 d_i = d_i.astype(dtype) * imask_d
                 d_b = d_b.astype(dtype)
 
-                fail = jax.lax.pmax(
-                    jnp.maximum(fail_i.astype(jnp.int32), fail_b.astype(jnp.int32)), "d"
-                ) > 0
-                d_i = jnp.where(fail, jnp.zeros_like(d_i), d_i)
-                d_b = jnp.where(fail, jnp.zeros_like(d_b), d_b)
                 # n_i == 0 (every variable on the boundary — tiny systems
                 # over many devices): no interior step to measure.
                 step_inf_i = (
                     jnp.max(jnp.abs(d_i)) if n_i else jnp.zeros((), dtype)
                 )
-                step_inf = jax.lax.pmax(
-                    jnp.maximum(step_inf_i, step_inf_b), "d"
-                )
+                # ONE fused pmax for (failure flag, step inf-norm).
+                fs = jax.lax.pmax(
+                    jnp.stack([
+                        jnp.maximum(fail_i, fail_b).astype(dtype),
+                        jnp.maximum(step_inf_i,
+                                    step_inf_b.astype(dtype)),
+                    ]), "d")
+                fail = fs[0] > 0
+                step_inf = fs[1]
+                d_i = jnp.where(fail, jnp.zeros_like(d_i), d_i)
+                d_b = jnp.where(fail, jnp.zeros_like(d_b), d_b)
 
                 x_i_new = s["x_i"] + d_i
                 x_b_new = s["x_b"] + d_b

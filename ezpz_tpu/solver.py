@@ -173,24 +173,33 @@ def _reference_result(final: LMState, res_conv, max_iterations: int) -> LMResult
     )
 
 
-def _damping_floor(jtj, lam):
-    """Effective LM damping for the factorization.
+def damped_spd_solve(jtj, lam, eye, b, spd=spd_solve):
+    """``spd_solve(jtj + lam*eye, b)`` with an f32 singular-rescue retry.
 
-    In f64 this is ``lam`` untouched (reference-exact, ``newton.rs:15``).
-    In f32 — the mixed path's coarse phase and refinement — a
-    rank-deficient JtJ (any underconstrained sketch: a lone distance
-    constraint leaves its tangential direction free) plus ``lam`` below
-    f32 round-off is numerically non-SPD: the Cholesky FAILS at
+    In f64 this is one plain factorization (reference-exact,
+    ``newton.rs:15``). In f32 — the mixed path's coarse phase and
+    refinement — a rank-deficient JtJ (any underconstrained sketch: a lone
+    distance constraint leaves its tangential direction free) plus ``lam``
+    below f32 round-off is numerically non-SPD: the Cholesky FAILS at
     lam = 1e-9 and 1e-8, burning the first two iterations of every such
     solve on rejected steps until the schedule escalates past ~1e-7
-    (measured: 2 wasted trips per solve at every coordinate scale). Floor
-    the f32 damping at 1e-6 * max|diag| — far above f32 round-off, far
-    below any meaningful curvature, and only for the factorization: the
-    carried ``lam`` and its schedule stay reference-exact."""
+    (measured: 2 wasted trips per solve at every coordinate scale).
+
+    An unconditional damping floor is NOT the fix: large coupled systems
+    legitimately have softest-mode curvatures near f32 round-off (a
+    600-part chain's smallest JtJ eigenvalue is ~3e-6), and flooring lam
+    there slows convergence 2 -> 11 iterations. Instead: factor with the
+    raw lam, and where that FAILS re-factor with lam floored at
+    1e-6 * max|diag| (just above f32 round-off for the matrix's scale).
+    Well-conditioned and ill-conditioned systems keep exact reference
+    damping; only genuinely-singular lanes take the rescue. The carried
+    ``lam`` and its schedule are untouched either way."""
+    d, fail = spd(jtj + lam * eye, b)
     if np.dtype(jtj.dtype) != np.float32:
-        return lam
+        return d, fail
     floor = np.float32(1e-6) * jnp.max(jnp.abs(jnp.diagonal(jtj)))
-    return jnp.maximum(lam, floor)
+    d2, fail2 = spd(jtj + jnp.maximum(lam, floor) * eye, b)
+    return jnp.where(fail, d2, d), fail & fail2
 
 
 def solve_lm(
@@ -202,6 +211,7 @@ def solve_lm(
     initial_lambda,
     pars=None,
     debug_jac: bool = False,
+    spd=spd_solve,
 ) -> LMResult:
     """Run the LM loop on one system. Pure and jit/vmap-compatible.
 
@@ -219,7 +229,7 @@ def solve_lm(
 
     def step(s: LMState):
         _r, jtj, jtr, deg_j = system.normal_equations(s.x, pars)
-        d, fail = spd_solve(jtj + _damping_floor(jtj, s.lam) * eye, -jtr)
+        d, fail = damped_spd_solve(jtj, s.lam, eye, -jtr, spd=spd)
         return d, fail, deg_j
 
     debug_fn = None
@@ -277,8 +287,7 @@ def solve_gauss_newton(
         res_conv = jnp.max(jnp.abs(r)) <= rtol
         act = ~res_conv
 
-        a = jtj + _damping_floor(jtj, lam) * eye
-        d, fail = spd_solve(a, -jtr)
+        d, fail = damped_spd_solve(jtj, lam, eye, -jtr)
         step_inf = jnp.max(jnp.abs(d))
 
         # A factorization failure must not step (d is zero-filled) and must
@@ -391,6 +400,7 @@ def solve_lm_mixed(
     coarse_tolerance: float = 5e-6,
     refine_iterations: int = 6,
     coarse_max_iterations: int = 20,
+    spd=spd_solve,
 ) -> LMResult:
     """Mixed-precision LM: f32 iterations + f64-residual refinement.
 
@@ -437,11 +447,13 @@ def solve_lm_mixed(
         jnp.maximum(jnp.asarray(step_tolerance, system32.dtype), 1e-7 * scale),
         initial_lambda,
         pars=pars32,
+        spd=spd,
     )
     return solve_lm_refine(
         system64, system32, coarse.x, coarse.iterations, coarse.deg,
         max_iterations, residual_tolerance, step_tolerance, initial_lambda,
         pars64=pars64, pars32=pars32, refine_iterations=refine_iterations,
+        spd=spd,
     )
 
 
@@ -458,6 +470,7 @@ def solve_lm_refine(
     pars64=None,
     pars32=None,
     refine_iterations: int = 6,
+    spd=spd_solve,
 ) -> LMResult:
     """The f64-residual refinement phase of ``solve_lm_mixed``, callable on
     its own so alternative coarse phases (e.g. the Pallas fleet kernel) can
@@ -485,7 +498,7 @@ def solve_lm_refine(
 
     def step(s: LMState):
         jtj, jtr, deg_j = system32.refine_normal_equations(s.x, s.r, pars32)
-        d32, fail = spd_solve(jtj + _damping_floor(jtj, s.lam) * eye32, -jtr)
+        d32, fail = damped_spd_solve(jtj, s.lam, eye32, -jtr, spd=spd)
         return d32.astype(f64), fail, deg_j
 
     # boundary_parity=False: the refine's ``converged`` is a pure

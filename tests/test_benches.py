@@ -53,6 +53,21 @@ def test_coupled_bench_runs():
     assert rec["detail"]["final_residual_inf"] <= 1e-8
 
 
+def test_midsize_bench_runs_and_routes_midsize_tier():
+    """rect_chain[4] is 26 vars — past the 24-var full unroll, so the
+    XLA-mixed path routes its normal-equation solves through the
+    matmul-free column-sweep tier (ops/linalg.spd_solve_batched). The
+    bench's own correctness gate (converged + satisfied + f64 residual)
+    is the end-to-end check that the tier solves real systems."""
+    proc = _run(["benches/midsize_bench.py", "--cpu", "--copies", "32",
+                 "--reps", "1", "--only", "rect_chain[4]"])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rec = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][0])
+    assert rec["n_vars"] == 26
+    assert rec["converged"] and rec["satisfied"]
+    assert rec["residual_f64_max"] <= 1e-8
+
+
 def test_scaling_artifact_is_current():
     """SCALING_r02.json (the committed weak-scaling artifact) must match the
     bench's output schema, so the recorded curve can't silently bitrot."""

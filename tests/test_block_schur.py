@@ -125,3 +125,32 @@ def test_textual_coupled_fixture():
     assert out["converged"]
     assert out["n_boundary"] > 0
     np.testing.assert_allclose(out["x"], np.asarray(ref.x), atol=1e-8)
+
+
+def test_cg_boundary_matches_dense():
+    """boundary_solver='cg' (Jacobi-PCG, Schur matrix never materialized)
+    converges to the same solution and iteration count as the dense
+    boundary Cholesky on the coupled chain."""
+    import subprocess
+    import sys as _sys
+    import os
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    txt = subprocess.run(
+        [_sys.executable, os.path.join(here, "tools", "gen_massive.py"),
+         "24", "coupled"],
+        capture_output=True, text=True, check=True).stdout
+    from ezpz_tpu.textual import Problem
+    cs = Problem.from_str(txt).to_constraint_system()
+    constraints = [r.constraint for r in cs.constraints]
+    x0 = np.zeros(len(cs.initial_guesses))
+    for vid, val in cs.initial_guesses:
+        x0[vid] = val
+    n = len(x0)
+    ref = BlockSchurSolver(constraints, n, precision="mixed").solve(x0)
+    out = BlockSchurSolver(constraints, n, precision="mixed",
+                           boundary_solver="cg").solve(x0)
+    assert out["converged"] and ref["converged"]
+    assert out["iterations"] == ref["iterations"]
+    assert out["n_boundary"] == ref["n_boundary"] > 0
+    np.testing.assert_allclose(out["x"], ref["x"], rtol=0, atol=1e-7)
+    assert out["satisfied"].all()
