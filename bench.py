@@ -162,9 +162,14 @@ def main():
         sys.path.insert(0, os.path.join(here, "benches"))
         from coupled_bench import run as coupled_run
 
+        # Tuned operating point from the COUPLED_r03.json sweep: Jacobi-PCG
+        # boundary at n_parts=120 (1,794 solves/sec vs 877 for the r02
+        # default dense/n_parts=60 config).
         detail["coupled"] = coupled_run(
             lines=600, copies=int(os.environ.get("BENCH_COUPLED_COPIES", "256")),
-            precision="mixed", reps=3)
+            precision="mixed", reps=3,
+            n_parts=int(os.environ.get("BENCH_COUPLED_PARTS", "120")),
+            boundary_solver=os.environ.get("BENCH_COUPLED_BOUNDARY", "cg"))
 
     print(json.dumps({
         "metric": "massive_parallel_system_solves_per_sec",
