@@ -127,6 +127,21 @@ def test_textual_coupled_fixture():
     np.testing.assert_allclose(out["x"], np.asarray(ref.x), atol=1e-8)
 
 
+def test_explicit_n_parts_is_honored():
+    """An explicit n_parts must be used verbatim — the default heuristic
+    (ceil(n_vars/40)) only applies when BOTH n_parts and part_of_var are
+    None (mutation-found: flipping that `and` to `or` silently recomputed
+    a caller's n_parts)."""
+    constraints, x0 = _coupled_chain_problem(12)
+    for n_parts in (2, 5):
+        s = BlockSchurSolver(constraints, len(x0), n_parts=n_parts,
+                             precision="f64")
+        assert s.P == n_parts
+    # and the default still kicks in when neither is given
+    s = BlockSchurSolver(constraints, len(x0), precision="f64")
+    assert s.P == max(1, int(np.ceil(len(x0) / 40)))
+
+
 def test_cg_boundary_matches_dense():
     """boundary_solver='cg' (Jacobi-PCG, Schur matrix never materialized)
     converges to the same solution and iteration count as the dense

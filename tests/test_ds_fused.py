@@ -115,6 +115,51 @@ def test_ds_degeneracy_threshold_boundary():
         assert np.array_equal(np.asarray(dg), np.asarray(dg64))
 
 
+def test_ds_sincos_reduced_range_extremes():
+    """ds_sincos at |reduced y| ~ pi/4 — where the HIGHEST-order Taylor
+    terms contribute most (x^13/13! ~ 7e-12 at y=pi/4). True error is
+    <= 4e-13 (measured); assert 2e-12 so a perturbed top coefficient
+    (mutants: 1/13! scaled 10x -> ~6e-12 error) cannot pass."""
+    th = np.array([np.pi / 4, 3 * np.pi / 4, 5 * np.pi / 4, 2.35619449,
+                   7.0685835, 0.785398, 10.9955743, -0.7853982, 3.9269908])
+    s, c = D.ds_sincos(D.split_f64(th))
+    assert np.max(np.abs(np.asarray(D.join_f64(*s)) - np.sin(th))) < 2e-12
+    assert np.max(np.abs(np.asarray(D.join_f64(*c)) - np.cos(th))) < 2e-12
+
+
+def test_ds_point_line_distance_deg_threshold_window():
+    """The vertical/horizontal point-line-distance deg guard fires at
+    |dx| (resp |dy|) <= 1e-4 — EPSILON, same as kernels.py:259. A line
+    with slope component 5e-4 (inside the decade above the guard) must
+    NOT flag and must produce the f64 kernel's residual; 5e-5 must flag.
+    Kills the '0.0001 -> 0.001' threshold mutants."""
+    from ezpz_tpu.ops.kernels import KERNELS
+
+    for name in ("vertical_point_line_distance",
+                 "horizontal_point_line_distance"):
+        spec = KERNELS[name]
+        for off, want_deg in ((5e-4, False), (5e-5, True)):
+            # line from (0,0) to (off, 1) [vertical variant: dx = off] or
+            # to (1, off) [horizontal variant: dy = off]
+            if name.startswith("vertical"):
+                qx, qy = off, 1.0
+            else:
+                qx, qy = 1.0, off
+            v64 = [np.array([0.3]), np.array([0.7]), np.array([0.0]),
+                   np.array([0.0]), np.array([qx]), np.array([qy])]
+            p64 = [np.array([0.25])]
+            ref, dg64 = jax.vmap(
+                lambda *a: spec.fn(a[:6], a[6:])
+            )(*[jnp.asarray(t) for t in (v64 + p64)])
+            rows, dg = D.DS_KERNELS[name](
+                [D.split_f64(t) for t in v64], [D.split_f64(t) for t in p64])
+            assert bool(np.asarray(dg)[0]) == want_deg, (name, off)
+            assert np.array_equal(np.asarray(dg), np.asarray(dg64)), name
+            got = np.asarray(D.join_f64(*rows[0]))
+            np.testing.assert_allclose(got, np.asarray(ref)[:, 0],
+                                       atol=1e-10, err_msg=name)
+
+
 def test_ds_symmetric_degenerate_nonzero_matches_f64_kernel():
     """On degenerate-but-NONZERO mirror lines (|q-p|^4 < EPSILON, q != p)
     the f32/f64 kernel's residual VALUE divides by the true |q-p|^2 (only
@@ -155,6 +200,26 @@ def _pars_for(system, B):
         jnp.asarray(np.tile(np.asarray(b.par), (B, 1, 1)))
         for b in system.blocks
     )
+
+
+def test_ds_symmetric_deg_threshold_window():
+    """The symmetric deg guard fires at |q-p|^4 < EPSILON, i.e.
+    |q-p| < 0.1 (the reference compares the SQUARED squared length,
+    constraints.rs:2378-2383). A mirror line of length 0.13 — inside the
+    window a decade-perturbed threshold would misflag — must NOT flag,
+    agreeing with the f64 kernel."""
+    from ezpz_tpu.ops.kernels import KERNELS
+
+    v64 = [np.array([0.0]), np.array([0.0]),        # p
+           np.array([0.13]), np.array([0.0]),       # q: |q-p| = 0.13
+           np.array([0.4]), np.array([0.6]),        # a
+           np.array([0.4]), np.array([-0.6])]       # b
+    _ref, dg64 = jax.vmap(
+        lambda *a: KERNELS["symmetric"].fn(a[:8], a[8:])
+    )(*[jnp.asarray(t) for t in v64])
+    _rows, dg = D.dsk_symmetric([D.split_f64(t) for t in v64], [])
+    assert not bool(np.asarray(dg)[0])
+    assert np.array_equal(np.asarray(dg), np.asarray(dg64))
 
 
 def test_fused_matches_mixed_path():
