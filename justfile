@@ -70,6 +70,13 @@ coverage *ARGS="tests/ -q":
 # Mutation testing (the `just mutants` analog, reference justfile:107-110).
 # Self-contained AST mutator — no external tool. Targeted selections keep
 # each mutant's run fast; see tools/mutate.py for usage.
+#
+# This recipe is the quick SAMPLED pass. The precision-critical modules
+# (ops/ds.py, parallel/block_schur.py, models/compiled.py,
+# textual/executor.py) were run IN FULL in round 3 — protocol, kill
+# rates, new killer tests, and the equivalent-survivor adjudication are
+# in docs/MUTATION.md. Full runs mutate files in place: run them in a
+# disposable copy of the repo, never the live tree (see mutants-full).
 mutants:
     python tools/mutate.py ezpz_tpu/utils/warnings.py -- tests/test_warnings_lint.py -q
     python tools/mutate.py ezpz_tpu/solver.py --sample 40 -- \
@@ -78,6 +85,34 @@ mutants:
     python tools/mutate.py ezpz_tpu/ops/kernels.py --sample 40 -- \
         tests/test_properties.py tests/test_properties_families.py \
         tests/test_golden_fixtures.py -q
+
+# Full (unsampled) mutation runs over the precision-critical modules, in a
+# throwaway copy so in-place mutation can never corrupt the live tree.
+# Takes hours on one core; see docs/MUTATION.md for the round-3 results.
+mutants-full:
+    rm -rf /tmp/ezpz_mutfull && mkdir -p /tmp/ezpz_mutfull
+    tar cf - --exclude .git --exclude __pycache__ --exclude .jax_cache . | tar xf - -C /tmp/ezpz_mutfull
+    # NOTE: -k expressions also match the MODULE name (test_ds_fused), so
+    # select the fast DS-level tests by explicit node id.
+    cd /tmp/ezpz_mutfull && python tools/mutate.py ezpz_tpu/ops/ds.py -- \
+        tests/test_ds_fused.py::test_ds_add_mul_sqrt_accuracy \
+        tests/test_ds_fused.py::test_ds_sincos_multi_revolution \
+        tests/test_ds_fused.py::test_ds_sincos_reduced_range_extremes \
+        tests/test_ds_fused.py::test_ds_degeneracy_threshold_boundary \
+        tests/test_ds_fused.py::test_ds_point_line_distance_deg_threshold_window \
+        tests/test_ds_fused.py::test_ds_symmetric_deg_threshold_window \
+        tests/test_ds_fused.py::test_ds_distance_kernel_large_coordinates \
+        tests/test_ds_fused.py::test_ds_kernels_match_f64_kernels \
+        tests/test_ds_fused.py::test_ds_symmetric_degenerate_nonzero_matches_f64_kernel \
+        tests/test_ds_fused.py::test_ccw_angle_less_matches_atan2 \
+        tests/test_ds_fused.py::test_all_kernels_have_ds_variants \
+        -x -q
+    cd /tmp/ezpz_mutfull && python tools/mutate.py ezpz_tpu/parallel/block_schur.py -- \
+        tests/test_block_schur.py -x -q
+    cd /tmp/ezpz_mutfull && python tools/mutate.py ezpz_tpu/models/compiled.py -- \
+        tests/test_oracle_scipy.py tests/test_golden_fixtures.py -x -q
+    cd /tmp/ezpz_mutfull && python tools/mutate.py ezpz_tpu/textual/executor.py -- \
+        tests/test_native_parser.py tests/test_golden_fixtures.py -x -q
 
 # Quick fuzz sanity (the CI `fuzz-check` analog).
 fuzz-check:
