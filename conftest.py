@@ -31,3 +31,21 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running integration test (multi-process spawns)"
     )
+
+
+# Full-suite runs accumulate thousands of live compiled executables; on this
+# image jaxlib's XLA:CPU AOT loader has segfaulted deterministically late in
+# the run (inside compilation_cache get_executable_and_time ->
+# backend.deserialize_executable) once that population is large enough.
+# Dropping the in-process executable cache every N tests caps the live count;
+# re-compiles after a drop are near-free disk hits on the persistent cache.
+_CLEAR_EVERY = int(os.environ.get("EZPZ_TPU_CLEAR_CACHES_EVERY", "40"))
+_test_counter = {"n": 0}
+
+
+def pytest_runtest_teardown(item, nextitem):
+    if _CLEAR_EVERY <= 0:
+        return
+    _test_counter["n"] += 1
+    if _test_counter["n"] % _CLEAR_EVERY == 0:
+        jax.clear_caches()

@@ -340,9 +340,17 @@ class BlockSchurSolver:
         # Interiors are a heavily-batched small-matrix regime (P vmapped
         # solves, x B when fleets vmap over this): 24 < n_loc <= 64 routes
         # to the matmul-free column-sweep tier; <= 24 is unchanged.
-        u, fail_i = jax.vmap(spd_solve_batched)(a_ii, b_i)
         if n_b:
-            w_mat, _fw = jax.vmap(spd_solve_multi_batched)(a_ii, a_ib)
+            # ONE interior factorization per step: pack b_i alongside A_ib
+            # so u (= A_ii^-1 b_i) and W (= A_ii^-1 A_ib) fall out of a
+            # single multi-RHS solve, and back-substitute the boundary step
+            # algebraically (d_i = u - W d_b) instead of a third solve —
+            # the substitution sweeps on (P, m, m) were the remaining
+            # duplicated work after XLA CSE merged the factorizations.
+            packed = jnp.concatenate([b_i[:, :, None], a_ib], axis=2)
+            sol, fail_i = jax.vmap(spd_solve_multi_batched)(a_ii, packed)
+            u = sol[:, :, 0]
+            w_mat = sol[:, :, 1:]
             rhs_contrib = b_b - jnp.einsum("pmk,pm->pk", a_ib, u)
             rhs_buf = jnp.zeros((n_b + 1,), jt).at[self.bmap].add(rhs_contrib)
             rhs = rhs_buf[:n_b]
@@ -380,10 +388,9 @@ class BlockSchurSolver:
                 d_b, fail_b = spd_solve(s_mat, rhs)
             d_b_ext = jnp.concatenate([d_b, jnp.zeros((1,), jt)])
             d_b_loc = d_b_ext[self.bmap]  # (P, kb)
-            d_i, _f2 = jax.vmap(spd_solve_batched)(
-                a_ii, b_i - jnp.einsum("pmk,pk->pm", a_ib, d_b_loc)
-            )
+            d_i = u - jnp.einsum("pmk,pk->pm", w_mat, d_b_loc)
         else:
+            u, fail_i = jax.vmap(spd_solve_batched)(a_ii, b_i)
             fail_b = jnp.asarray(False)
             d_b = jnp.zeros((0,), jt)
             d_i = u

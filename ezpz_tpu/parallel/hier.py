@@ -397,10 +397,17 @@ class ShardedBlockSchurSolver:
                 # *_batched tiers route 24 < n_loc <= 64 to the matmul-free
                 # column-sweep solve (ops/linalg._midsize_spd_solve) instead
                 # of XLA's serialized small cholesky; <= 24 is unchanged.
-                u, fail_i = jax.vmap(spd_solve_batched)(a_ii, b_i)
-                fail_i = jnp.any(fail_i)
                 if n_b:
-                    w_mat, _fw = jax.vmap(spd_solve_multi_batched)(a_ii, a_ib)
+                    # ONE interior factorization: pack b_i next to A_ib so
+                    # u and W share the factorization + substitution sweep,
+                    # and reuse W for the interior back-substitution
+                    # (d_i = u - W d_b) instead of a third solve.
+                    packed = jnp.concatenate([b_i[:, :, None], a_ib], 2)
+                    sol, fail_i = jax.vmap(spd_solve_multi_batched)(
+                        a_ii, packed)
+                    fail_i = jnp.any(fail_i)
+                    u = sol[:, :, 0]
+                    w_mat = sol[:, :, 1:]
 
                     def scatter_b(contrib):
                         # (Pl, kb) -> (n_b,) local sum (dummy row dropped)
@@ -444,10 +451,10 @@ class ShardedBlockSchurSolver:
                         d_b, fail_b = spd_solve(s_mat, rhs)
                     d_b_ext = jnp.concatenate([d_b, jnp.zeros((1,), jt)])
                     d_b_loc = d_b_ext[bmap]
-                    d_i, _f2 = jax.vmap(spd_solve_batched)(
-                        a_ii, b_i - jnp.einsum("pmk,pk->pm", a_ib, d_b_loc)
-                    )
+                    d_i = u - jnp.einsum("pmk,pk->pm", w_mat, d_b_loc)
                 else:
+                    u, fail_i = jax.vmap(spd_solve_batched)(a_ii, b_i)
+                    fail_i = jnp.any(fail_i)
                     fail_b = jnp.asarray(False)
                     d_b = jnp.zeros((0,), jt)
                     d_i = u

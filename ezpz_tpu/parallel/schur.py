@@ -418,10 +418,17 @@ class ShardedSchurSolver:
                 a_ib = jtj[:n_i, n_i:]
                 a_bb_part = jtj[n_i:, n_i:]
 
-                u, fail_i = spd_solve(a_ii, b_i)
-
                 if n_b:
-                    w_mat, _fw = spd_solve_multi(a_ii, a_ib)
+                    # ONE interior factorization: b_i rides as an extra RHS
+                    # next to A_ib, so u and W share the factorization and
+                    # substitution sweep; the interior back-substitution
+                    # after the boundary solve is then the algebraic
+                    # identity d_i = u - W d_b (a matvec) instead of a
+                    # third triangular solve.
+                    packed_rhs = jnp.concatenate([b_i[:, None], a_ib], 1)
+                    sol, fail_i = spd_solve_multi(a_ii, packed_rhs)
+                    u = sol[:, 0]
+                    w_mat = sol[:, 1:]
                     rhs_part = b_b - a_ib.T @ u
                     if self.boundary_solver == "cg":
                         rhs = jax.lax.psum(rhs_part, "d")
@@ -450,9 +457,10 @@ class ShardedSchurSolver:
                         s_mat = packed[:n_b] + lam_j * eye_b
                         rhs = packed[n_b]
                         d_b, fail_b = spd_solve(s_mat, rhs)
-                    d_i, _fi2 = spd_solve(a_ii, b_i - a_ib @ d_b)
+                    d_i = u - w_mat @ d_b
                     step_inf_b = jnp.max(jnp.abs(d_b))
                 else:
+                    u, fail_i = spd_solve(a_ii, b_i)
                     fail_b = jnp.asarray(False)
                     d_b = jnp.zeros((0,), jt)
                     d_i = u
