@@ -61,7 +61,12 @@ def bench_fleet(devices, per_device: int, reps: int):
     x0 = np.array([0.3, -0.2, 0.8, 3.1])
     system = compile_system(cs, n_vars=4)
 
-    results = {}
+    # Warm every device count first, then INTERLEAVE the timed reps
+    # (d=1,2,4,8, d=1,2,4,8, ...) and take per-d medians: this host's
+    # available CPU drifts 30-40% over minutes, and measuring d=1 a
+    # minute before d=8 poisons the efficiency ratio; interleaving makes
+    # the drift hit every d equally so the ratio cancels it.
+    solvers = {}
     for d in sorted(set(devices)):
         mesh = Mesh(np.array(jax.devices()[:d]), ("batch",))
         fleet = FleetSolver(system, mesh=mesh, config=Config())
@@ -69,11 +74,17 @@ def bench_fleet(devices, per_device: int, reps: int):
         x0b = jnp.asarray(np.tile(x0, (B, 1)))
         res = fleet.solve(x0b)  # warmup/compile
         assert bool(np.asarray(res.converged).all())
-        t0 = time.perf_counter()
-        for _ in range(reps):
+        solvers[d] = (fleet, x0b, B)
+    times = {d: [] for d in solvers}
+    for _ in range(reps):
+        for d, (fleet, x0b, _B) in solvers.items():
+            t0 = time.perf_counter()
             out = fleet.solve(x0b)
             jax.block_until_ready(out.x)
-        dt = (time.perf_counter() - t0) / reps
+            times[d].append(time.perf_counter() - t0)
+    results = {}
+    for d, (_fleet, _x0b, B) in solvers.items():
+        dt = sorted(times[d])[len(times[d]) // 2]
         results[d] = dict(batch=B, sec_per_solve=dt, sketches_per_sec=B / dt)
     return results
 
@@ -86,17 +97,24 @@ def bench_schur(devices, points_per_device: int, reps: int):
     from ezpz_tpu.config import Config
     from ezpz_tpu.parallel import ShardedSchurSolver
 
-    results = {}
+    # Same interleaved-rep protocol as bench_fleet (see comment there).
+    solvers = {}
     for d in sorted(set(devices)):
         constraints, x0 = _chain_system(points_per_device * d)
         mesh = Mesh(np.array(jax.devices()[:d]), ("d",))
         solver = ShardedSchurSolver(constraints, len(x0), mesh=mesh, config=Config())
         out = solver.solve(x0)  # warmup/compile
         assert out["converged"] and out["satisfied"].all(), out
-        t0 = time.perf_counter()
-        for _ in range(reps):
+        solvers[d] = (solver, x0, out)
+    times = {d: [] for d in solvers}
+    for _ in range(reps):
+        for d, (solver, x0, _out) in solvers.items():
+            t0 = time.perf_counter()
             solver.solve(x0)
-        dt = (time.perf_counter() - t0) / reps
+            times[d].append(time.perf_counter() - t0)
+    results = {}
+    for d, (_solver, x0, out) in solvers.items():
+        dt = sorted(times[d])[len(times[d]) // 2]
         results[d] = dict(
             n_vars=len(x0), sec_per_solve=dt, iterations=out["iterations"],
             n_boundary=out["n_boundary"],

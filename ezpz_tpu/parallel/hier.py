@@ -312,6 +312,13 @@ class ShardedBlockSchurSolver:
                     xl[:, :, None], idx.transpose(0, 2, 1), axis=1
                 ).transpose(0, 2, 1)
 
+            # One packed psum per reduction instead of psum+pmax pairs:
+            # max-reduced scalars ride in a one-hot device slot and take
+            # jnp.max after the sum (every collective is a full-mesh
+            # barrier; see parallel/schur.py for the same pattern).
+            D_mesh = mesh.devices.size
+            dev_onehot = jnp.arange(D_mesh) == jax.lax.axis_index("d")
+
             def residual_stats(x):
                 """psum'd (r2, rinf, deg, worst) at replicated x (f64)."""
                 x_ext = jnp.concatenate([x, jnp.zeros((1,), dtype)])
@@ -331,12 +338,13 @@ class ShardedBlockSchurSolver:
                         deg = deg.at[cid].max(dg & live)
                     worst = worst.at[cid].max(
                         jnp.max(jnp.abs(res), axis=2) * live)
-                return (
-                    jax.lax.psum(r2, "d"),
-                    jax.lax.pmax(rinf, "d"),
-                    deg,
-                    worst,
+                packed = jax.lax.psum(
+                    jnp.concatenate(
+                        [r2[None], jnp.where(dev_onehot, rinf, 0.0)]
+                    ),
+                    "d",
                 )
+                return packed[0], jnp.max(packed[1:]), deg, worst
 
             def normal_eq(x):
                 """(jtj (Pl, n_loc, n_loc), jtr (Pl, n_loc), deg) in jt."""
@@ -414,9 +422,8 @@ class ShardedBlockSchurSolver:
                         buf = jnp.zeros((n_b + 1,), jt).at[bmap].add(contrib)
                         return buf[:n_b]
 
-                    rhs = jax.lax.psum(
-                        scatter_b(b_b - jnp.einsum("pmk,pm->pk", a_ib, u)),
-                        "d")
+                    rhs_contrib = scatter_b(
+                        b_b - jnp.einsum("pmk,pm->pk", a_ib, u))
 
                     def s_matvec(v):
                         v_ext = jnp.concatenate([v, jnp.zeros((1,), jt)])
@@ -428,11 +435,16 @@ class ShardedBlockSchurSolver:
                         return jax.lax.psum(scatter_b(t), "d") + lam_j * v
 
                     if self.boundary_solver == "cg":
-                        # Jacobi preconditioner: diag(S) with one psum.
+                        # Jacobi preconditioner diag(S) rides in the SAME
+                        # psum as the boundary rhs.
                         diag_local = jnp.einsum("pkk->pk", a_bb) - jnp.einsum(
                             "pmk,pmk->pk", a_ib, w_mat)
-                        diag_s = jax.lax.psum(scatter_b(diag_local), "d") \
-                            + lam_j
+                        packed_b = jax.lax.psum(
+                            jnp.concatenate(
+                                [rhs_contrib, scatter_b(diag_local)]),
+                            "d")
+                        rhs = packed_b[:n_b]
+                        diag_s = packed_b[n_b:] + lam_j
                         minv = jnp.where(diag_s > 0, 1.0 / diag_s,
                                          jnp.ones_like(diag_s))
                         tol = self.cg_tol * jnp.sqrt(jnp.vdot(rhs, rhs))
@@ -440,14 +452,23 @@ class ShardedBlockSchurSolver:
                                    self.cg_max_iters)
                         fail_b = jnp.asarray(False)
                     else:
+                        # The boundary rhs rides as an extra row of the
+                        # Schur-matrix psum (one collective, as in
+                        # parallel/schur.py's dense path).
                         s_contrib = a_bb - jnp.einsum(
                             "pmk,pmj->pkj", a_ib, w_mat)
                         s_buf = jnp.zeros((n_b + 1, n_b + 1), jt)
                         s_buf = s_buf.at[
                             bmap[:, :, None], bmap[:, None, :]
                         ].add(s_contrib)
-                        s_mat = jax.lax.psum(s_buf[:n_b, :n_b], "d") \
+                        packed_s = jax.lax.psum(
+                            jnp.concatenate(
+                                [s_buf[:n_b, :n_b], rhs_contrib[None, :]],
+                                0),
+                            "d")
+                        s_mat = packed_s[:n_b] \
                             + lam_j * jnp.eye(n_b, dtype=jt)
+                        rhs = packed_s[n_b]
                         d_b, fail_b = spd_solve(s_mat, rhs)
                     d_b_ext = jnp.concatenate([d_b, jnp.zeros((1,), jt)])
                     d_b_loc = d_b_ext[bmap]
@@ -458,15 +479,19 @@ class ShardedBlockSchurSolver:
                     fail_b = jnp.asarray(False)
                     d_b = jnp.zeros((0,), jt)
                     d_i = u
-                fail = jax.lax.pmax(
-                    jnp.maximum(fail_i.astype(jnp.int32),
-                                fail_b.astype(jnp.int32)), "d") > 0
                 d_i = d_i * imask_d
                 # Interior scatter is per-device partial; psum unions the
-                # disjoint contributions into the replicated step.
-                d = jnp.zeros((n_vars + 1,), dtype)
+                # disjoint contributions into the replicated step. The
+                # fail flag rides in an extra slot of the same psum
+                # (slot n_vars is the padded-lane dummy, slot n_vars+1 the
+                # flag) instead of its own pmax barrier.
+                d = jnp.zeros((n_vars + 2,), dtype)
                 d = d.at[int_map].add(d_i.astype(dtype))
-                d = jax.lax.psum(d[:n_vars], "d")
+                d = d.at[n_vars + 1].set(
+                    jnp.maximum(fail_i.astype(dtype), fail_b.astype(dtype)))
+                dsum = jax.lax.psum(d, "d")
+                fail = dsum[n_vars + 1] > 0
+                d = dsum[:n_vars]
                 if n_b:
                     d = d.at[jnp.asarray(self.boundary, jnp.int32)].add(
                         d_b.astype(dtype))
@@ -523,9 +548,11 @@ class ShardedBlockSchurSolver:
             )
             _r2f, _rf, _degf, worst_f = residual_stats(final["x"])
             # worst/deg are per-device partial (each constraint is homed on
-            # exactly one part): combine with max across the mesh.
-            worst_all = jax.lax.pmax(worst_f, "d")
-            deg_all = jax.lax.pmax(final["deg"].astype(jnp.int32), "d") > 0
+            # exactly one part): combine with ONE fused max across the mesh.
+            wd = jax.lax.pmax(
+                jnp.concatenate([worst_f, final["deg"].astype(dtype)]), "d")
+            worst_all = wd[: n_cons + 1]
+            deg_all = wd[n_cons + 1:] > 0
             sat = worst_all[:n_cons] < EPSILON
             return (
                 final["x"],

@@ -366,18 +366,39 @@ class ShardedSchurSolver:
             def x_local(xi, xb):
                 return jnp.concatenate([xi, xb])
 
-            def global_r2_rinf(xi, xb):
+            # Every collective on the mesh is a full-device barrier, so the
+            # residual evaluation's psum(r2) + pmax(rinf) — and, in the
+            # body, the (fail, step-inf) pmax — are packed into ONE psum:
+            # scalars that need a SUM ride directly, scalars that need a
+            # MAX ride in a one-hot device slot and take jnp.max after the
+            # reduction. 2 collectives per LM iteration total (this one and
+            # the Schur-matrix psum), down from 4.
+            D_mesh = mesh.devices.size
+            dev_onehot = jnp.arange(D_mesh) == jax.lax.axis_index("d")
+
+            def global_eval(xi, xb, fail_local=None, step_local=None):
                 r2, rinf, deg, worst, _, _ = self._local_eval(
                     x_local(xi, xb), blocks_dev, want_jac=False
                 )
+                zero = jnp.zeros((), dtype)
+                fl = zero if fail_local is None else fail_local
+                sl = zero if step_local is None else step_local
+                vec = jnp.concatenate([
+                    jnp.stack([r2, fl]),
+                    jnp.where(dev_onehot, rinf, zero),
+                    jnp.where(dev_onehot, sl, zero),
+                ])
+                packed = jax.lax.psum(vec, "d")
                 return (
-                    jax.lax.psum(r2, "d"),
-                    jax.lax.pmax(rinf, "d"),
+                    packed[0],                        # global r2
+                    packed[1] > 0,                    # any-device fail
+                    jnp.max(packed[2:2 + D_mesh]),    # global rinf
+                    jnp.max(packed[2 + D_mesh:]),     # global step inf
                     deg,
                     worst,
                 )
 
-            r2_0, rinf_0, deg0, _worst0 = global_r2_rinf(x_i, x_b)
+            r2_0, _f0, rinf_0, _s0, deg0, _worst0 = global_eval(x_i, x_b)
 
             # The linear-algebra side lives in jac_dtype (f32 when mixed).
             jt = self.jac_dtype
@@ -474,21 +495,23 @@ class ShardedSchurSolver:
                 step_inf_i = (
                     jnp.max(jnp.abs(d_i)) if n_i else jnp.zeros((), dtype)
                 )
-                # ONE fused pmax for (failure flag, step inf-norm).
-                fs = jax.lax.pmax(
-                    jnp.stack([
-                        jnp.maximum(fail_i, fail_b).astype(dtype),
-                        jnp.maximum(step_inf_i,
-                                    step_inf_b.astype(dtype)),
-                    ]), "d")
-                fail = fs[0] > 0
-                step_inf = fs[1]
-                d_i = jnp.where(fail, jnp.zeros_like(d_i), d_i)
-                d_b = jnp.where(fail, jnp.zeros_like(d_b), d_b)
+                # The (fail, step-inf) reduction rides in the trial
+                # evaluation's packed psum instead of its own pmax. A
+                # failed factorization's step is already zero-filled
+                # (spd_solve sanitizes its output), and d_b is computed
+                # from psum-replicated data so the trial point stays
+                # consistent across devices even before the global fail
+                # flag is known; ``accept`` still gates on the global
+                # flag, so a reject-under-failure leaves the state exactly
+                # as the eager pmax did (trial-point deg flags accumulate
+                # from rejected steps either way).
+                fail_local = jnp.maximum(fail_i, fail_b).astype(dtype)
+                step_local = jnp.maximum(step_inf_i, step_inf_b.astype(dtype))
 
                 x_i_new = s["x_i"] + d_i
                 x_b_new = s["x_b"] + d_b
-                r2_new, rinf_new, deg_r, _wn = global_r2_rinf(x_i_new, x_b_new)
+                r2_new, fail, rinf_new, step_inf, deg_r, _wn = global_eval(
+                    x_i_new, x_b_new, fail_local, step_local)
                 accept = jnp.logical_and(~fail, r2_new < s["r2"])
 
                 out = dict(s)
@@ -521,7 +544,12 @@ class ShardedSchurSolver:
                           jnp.asarray(it_limit, jnp.int32)),
             )
             # Final satisfaction check (unweighted residuals, EPSILON).
-            _r2f, _rf, _degf, worst_f = global_r2_rinf(final["x_i"], final["x_b"])
+            # Satisfaction is judged per-device over LOCAL constraints, so
+            # this evaluation needs no collective at all.
+            _, _, _degf, worst_f, _, _ = self._local_eval(
+                x_local(final["x_i"], final["x_b"]), blocks_dev,
+                want_jac=False,
+            )
             sat = worst_f < EPSILON
             return (
                 final["x_i"][None, :],
