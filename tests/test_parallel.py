@@ -202,3 +202,29 @@ def test_sharded_schur_no_coupling():
     assert res["n_boundary"] == 0
     assert res["converged"]
     assert res["satisfied"].all()
+
+
+def test_sharded_schur_singular_interior_terminates():
+    """Rank-deficient interior + initial_lambda=0: the undamped normal
+    equations are singular, so the first Schur step either trips the NaN
+    fail flag (which, since the packed-collective change, rides in the
+    trial evaluation's psum rather than an eager pmax) or survives on the
+    sanitized zero pivot and gets rejected on merit. Either way the solve
+    must TERMINATE with finite outputs — no NaN may leak through the psum
+    into the replicated state — and report an honest converged flag."""
+    _need_devices()
+    constraints, x0 = _coupled_chain_problem()
+    # Orphan a rotation freedom: drop ONE Horizontal so its point is held
+    # by the distance constraint alone (rank-1 2x2 block in JtJ).
+    kept, dropped = [], False
+    for c in constraints:
+        if not dropped and c.kind == Constraint.HORIZONTAL:
+            dropped = True
+            continue
+        kept.append(c)
+    assert dropped
+    cfg = Config(initial_lambda=0.0, max_iterations=8)
+    solver = ShardedSchurSolver(kept, len(x0), config=cfg)
+    res = solver.solve(x0)
+    assert np.isfinite(np.asarray(res["x"])).all()
+    assert int(res["iterations"]) <= 8
