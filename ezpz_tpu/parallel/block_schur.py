@@ -102,9 +102,22 @@ class BlockSchurSolver:
         (the critical path once the boundary grows past a few hundred
         variables) disappears. ``cg_tol`` is relative to |rhs|; default
         picks 1e-5 for f32 linear algebra (mixed) / 1e-12 for f64 — the
-        LM accept/reject loop absorbs the inexactness (inexact Newton)."""
+        LM accept/reject loop absorbs the inexactness (inexact Newton).
+
+        ``boundary_solver="banded"``: EXACT direct solve for chain-like
+        couplings. Under the natural boundary ordering a 1-D chain of
+        parts yields a (block-)tridiagonal Schur complement; this path
+        assembles only its lower band (half-bandwidth = the widest
+        within-part boundary span, computed at build time) and factors it
+        in O(n_b * bw^2) with ``ops.banded`` — no O(n_b^3) Cholesky, no
+        CG matvec loop, and unlike CG the step is exact, so LM iteration
+        counts match the dense path. The band captures S exactly
+        (per-part blocks only touch that part's own boundary slots); a
+        hub-like topology whose parts all touch one shared variable makes
+        bw ~ n_b and the path degenerates to dense cost — check
+        ``self.band_bw`` before choosing it."""
         assert precision in ("f64", "mixed"), precision
-        assert boundary_solver in ("dense", "cg"), boundary_solver
+        assert boundary_solver in ("dense", "cg", "banded"), boundary_solver
         self.boundary_solver = boundary_solver
         if cg_tol is None:
             cg_tol = 1e-5 if precision == "mixed" else 1e-12
@@ -198,6 +211,27 @@ class BlockSchurSolver:
         self.l2g = l2g
         self.bmap = bmap
         self.int_map = int_map
+
+        # Banded-boundary structure: half-bandwidth = widest within-part
+        # boundary span under the natural ordering (per-part Schur blocks
+        # only couple a part's OWN boundary slots, so the lower band with
+        # this bw captures S exactly). Static scatter indices map each
+        # (part, k, j) block entry to (row slot, band offset); upper-
+        # triangle and dummy entries get out-of-range offsets and are
+        # dropped by the scatter.
+        spans = [
+            int(r.max() - r.min())
+            for p in range(P)
+            for r in (bmap[p][bmap[p] < n_b],)
+            if r.size
+        ]
+        self.band_bw = bw = max(spans, default=0)
+        rows = np.repeat(bmap[:, :, None], kb, axis=2)  # row slot of (k, j)
+        cols = np.repeat(bmap[:, None, :], kb, axis=1)
+        off = cols - rows + bw
+        invalid = (rows >= n_b) | (cols >= n_b) | (off < 0) | (off > bw)
+        self.band_rows = np.where(invalid, n_b, rows)
+        self.band_off = np.where(invalid, bw + 1, off)  # OOB -> dropped
         imask = np.zeros((P, m))
         for p in range(P):
             imask[p, : len(interior[p])] = 1.0
@@ -378,6 +412,16 @@ class BlockSchurSolver:
                 tol = self.cg_tol * jnp.sqrt(jnp.vdot(rhs, rhs))
                 d_b = _pcg(s_matvec, rhs, minv, tol, self.cg_max_iters)
                 fail_b = jnp.asarray(False)
+            elif self.boundary_solver == "banded":
+                from ..ops.banded import banded_spd_solve
+
+                s_contrib = a_bb - jnp.einsum("pmk,pmj->pkj", a_ib, w_mat)
+                band = jnp.zeros((n_b + 1, self.band_bw + 1), jt)
+                band = band.at[
+                    jnp.asarray(self.band_rows), jnp.asarray(self.band_off)
+                ].add(s_contrib, mode="drop")
+                band = band[:n_b].at[:, self.band_bw].add(lam_j)
+                d_b, fail_b = banded_spd_solve(band, rhs)
             else:
                 s_contrib = a_bb - jnp.einsum("pmk,pmj->pkj", a_ib, w_mat)
                 s_buf = jnp.zeros((n_b + 1, n_b + 1), jt)

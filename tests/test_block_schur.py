@@ -169,3 +169,82 @@ def test_cg_boundary_matches_dense():
     assert out["n_boundary"] == ref["n_boundary"] > 0
     np.testing.assert_allclose(out["x"], ref["x"], rtol=0, atol=1e-7)
     assert out["satisfied"].all()
+
+
+def test_banded_boundary_matches_dense():
+    """boundary_solver='banded' (exact lower-band direct solve,
+    ops/banded.py) reproduces the dense boundary Cholesky BITWISE-closely
+    on the coupled chain: same iteration count, same solution, and a
+    half-bandwidth that stays at the interface width (constant in
+    n_parts) while n_b grows — the O(n_b * bw^2) vs O(n_b^3) claim."""
+    import subprocess
+    import sys as _sys
+    import os
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    txt = subprocess.run(
+        [_sys.executable, os.path.join(here, "tools", "gen_massive.py"),
+         "24", "coupled"],
+        capture_output=True, text=True, check=True).stdout
+    from ezpz_tpu.textual import Problem
+    cs = Problem.from_str(txt).to_constraint_system()
+    constraints = [r.constraint for r in cs.constraints]
+    x0 = np.zeros(len(cs.initial_guesses))
+    for vid, val in cs.initial_guesses:
+        x0[vid] = val
+    n = len(x0)
+    bws = {}
+    for n_parts in (4, 8):
+        ref = BlockSchurSolver(constraints, n, n_parts=n_parts,
+                               precision="mixed").solve(x0)
+        solver = BlockSchurSolver(constraints, n, n_parts=n_parts,
+                                  precision="mixed",
+                                  boundary_solver="banded")
+        out = solver.solve(x0)
+        assert out["converged"] and ref["converged"]
+        assert out["iterations"] == ref["iterations"]
+        assert out["n_boundary"] == ref["n_boundary"] > 0
+        np.testing.assert_allclose(out["x"], ref["x"], rtol=0, atol=1e-7)
+        assert out["satisfied"].all()
+        bws[n_parts] = solver.band_bw
+    # Chain structure: bandwidth is set by the interface width, not n_b.
+    assert bws[8] == bws[4]
+
+
+def test_banded_ops_against_dense():
+    """ops/banded.py factor+solve agrees with a dense solve on random SPD
+    banded matrices, flags non-SPD input, and batches under vmap."""
+    import jax
+    from ezpz_tpu.ops.banded import banded_spd_solve, dense_to_band
+
+    rng = np.random.default_rng(7)
+    for n, bw in [(9, 0), (13, 2), (33, 6)]:
+        A = np.zeros((n, n))
+        for i in range(n):
+            for j in range(max(0, i - bw), i + 1):
+                A[i, j] = A[j, i] = rng.normal()
+        A += np.eye(n) * (2 * bw + 5)
+        b = rng.normal(size=(n,))
+        x, fail = banded_spd_solve(dense_to_band(jnp.asarray(A), bw),
+                                   jnp.asarray(b))
+        assert not bool(fail)
+        np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b),
+                                   atol=1e-10)
+    # Non-SPD: fail flag + zero-filled solution (spd_solve contract).
+    A2 = np.eye(6)
+    A2[2, 2] = -1.0
+    x, fail = banded_spd_solve(dense_to_band(jnp.asarray(A2), 1),
+                               jnp.asarray(rng.normal(size=6)))
+    assert bool(fail) and np.allclose(np.asarray(x), 0.0)
+    # vmap over a batch axis.
+    A = np.zeros((12, 12))
+    for i in range(12):
+        for j in range(max(0, i - 3), i + 1):
+            A[i, j] = A[j, i] = rng.normal()
+    A += np.eye(12) * 11
+    Ab = dense_to_band(jnp.asarray(A), 3)
+    B = rng.normal(size=(4, 12))
+    xs, fails = jax.vmap(banded_spd_solve, in_axes=(None, 0))(Ab, jnp.asarray(B))
+    assert not bool(np.asarray(fails).any())
+    for k in range(4):
+        np.testing.assert_allclose(np.asarray(xs[k]),
+                                   np.linalg.solve(A, B[k]), atol=1e-10)
