@@ -129,7 +129,7 @@ class ShardedBlockSchurSolver:
         cg_max_iters: int = 400,
     ):
         assert precision in ("f64", "mixed"), precision
-        assert boundary_solver in ("dense", "cg"), boundary_solver
+        assert boundary_solver in ("dense", "cg", "banded"), boundary_solver
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), ("d",))
         self.mesh = mesh
@@ -215,6 +215,17 @@ class ShardedBlockSchurSolver:
                 g2l[p][g] = m + j
                 bmap[p, j] = b_slot[g]
             imask[p, : len(interior[p])] = 1.0
+
+        # Banded-boundary half-bandwidth: widest within-part boundary span
+        # (chain couplings keep this at the interface width regardless of
+        # P; see parallel/block_schur.py and ops/banded.py).
+        spans = [
+            int(r.max() - r.min())
+            for p in range(Ppad)
+            for r in (bmap[p][bmap[p] < n_b],)
+            if r.size
+        ]
+        self.band_bw = max(spans, default=0)
 
         def dev_shape(a):
             return a.reshape((D, Pl) + a.shape[1:])
@@ -451,6 +462,36 @@ class ShardedBlockSchurSolver:
                         d_b = _pcg(s_matvec, rhs, minv, tol,
                                    self.cg_max_iters)
                         fail_b = jnp.asarray(False)
+                    elif self.boundary_solver == "banded":
+                        # Exact banded direct solve for chain-like
+                        # couplings: assemble only the lower band locally,
+                        # psum it (rhs rides as an extra column — ONE
+                        # collective for the whole boundary system), then
+                        # every device runs the same O(n_b * bw^2)
+                        # replicated scan factorization. Replaces the CG
+                        # matvec loop (one psum PER matvec) entirely.
+                        from ..ops.banded import banded_spd_solve
+
+                        bw = self.band_bw
+                        s_contrib = a_bb - jnp.einsum(
+                            "pmk,pmj->pkj", a_ib, w_mat)
+                        shape3 = s_contrib.shape
+                        rows = jnp.broadcast_to(bmap[:, :, None], shape3)
+                        cols = jnp.broadcast_to(bmap[:, None, :], shape3)
+                        off = cols - rows + bw
+                        bad = ((rows >= n_b) | (cols >= n_b)
+                               | (off < 0) | (off > bw))
+                        rows_s = jnp.where(bad, n_b, rows)
+                        off_s = jnp.where(bad, bw + 1, off)
+                        band_buf = jnp.zeros((n_b + 1, bw + 2), jt)
+                        band_buf = band_buf.at[rows_s, off_s].add(s_contrib)
+                        packed_band = jax.lax.psum(
+                            jnp.concatenate(
+                                [band_buf[:n_b, :bw + 1],
+                                 rhs_contrib[:, None]], 1), "d")
+                        band = packed_band[:, :bw + 1].at[:, bw].add(lam_j)
+                        rhs = packed_band[:, bw + 1]
+                        d_b, fail_b = banded_spd_solve(band, rhs)
                     else:
                         # The boundary rhs rides as an extra row of the
                         # Schur-matrix psum (one collective, as in

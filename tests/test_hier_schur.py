@@ -127,3 +127,25 @@ def test_degenerate_flags_propagate():
     x0 = np.array([0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 2.4, 1.6])  # p1 == p0
     out = ShardedBlockSchurSolver(cs, 8, n_parts=2).solve(x0)
     assert bool(out["degenerate"][2])
+
+
+def test_banded_boundary_matches_cg():
+    """boundary_solver='banded' (exact block-tridiagonal direct solve,
+    one band psum per LM iteration) agrees with the CG and dense paths on
+    the sharded coupled chain, with the chain's constant half-bandwidth."""
+    _need_devices()
+    constraints, x0 = _coupled_chain(24)
+    n = len(x0)
+    ref = ShardedBlockSchurSolver(
+        constraints, n, n_parts=8, precision="mixed",
+        boundary_solver="dense").solve(x0)
+    solver = ShardedBlockSchurSolver(
+        constraints, n, n_parts=8, precision="mixed",
+        boundary_solver="banded")
+    out = solver.solve(x0)
+    assert out["converged"] and ref["converged"]
+    # Exact steps: iteration count matches the dense (exact) path.
+    assert out["iterations"] == ref["iterations"]
+    assert out["satisfied"].all()
+    np.testing.assert_allclose(out["x"], ref["x"], rtol=0, atol=1e-6)
+    assert 0 < solver.band_bw < solver.n_b
