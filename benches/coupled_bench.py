@@ -120,7 +120,8 @@ def main(argv=None) -> int:
     ap.add_argument("--precision", choices=["mixed", "f64"], default="mixed")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--n-parts", type=int, default=None)
-    ap.add_argument("--boundary", choices=["dense", "cg"], default="dense")
+    ap.add_argument("--boundary", choices=["dense", "cg", "banded"],
+                    default="dense")
     ap.add_argument("--latency", action="store_true",
                     help="also measure batch=1 synchronous latency")
     ap.add_argument("--cpu", action="store_true")
