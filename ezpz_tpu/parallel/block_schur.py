@@ -341,7 +341,12 @@ class BlockSchurSolver:
                 jnp.einsum("pndk,pnd->pnk", wjac, wres)
             )
             if spec.can_degenerate:
-                deg = deg.at[cid].max(dg & (w > 0))
+                # Padded lanes carry cid == n_constraints, so their flags
+                # land in the dummy slot sliced off below — no weight mask
+                # needed. Real weight-0 constraints DO flag (same contract
+                # as residual_and_flags / the reference, which evaluates
+                # every constraint regardless of its weight).
+                deg = deg.at[cid].max(dg)
         return jtj, jtr, deg[: self.n_constraints]
 
     def _schur_step(self, x, lam):

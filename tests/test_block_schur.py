@@ -248,3 +248,109 @@ def test_banded_ops_against_dense():
     for k in range(4):
         np.testing.assert_allclose(np.asarray(xs[k]),
                                    np.linalg.solve(A, B[k]), atol=1e-10)
+
+
+def test_mixed_precision_uses_f32_jacobian_system():
+    """The mixed-precision contract: precision='mixed' must lower the
+    Jacobian-side system to float32 (the whole point of the mode on TPU);
+    precision='f64' must not. Kills the system_j dtype-selection mutant."""
+    constraints, x0 = _coupled_chain_problem()
+    mix = BlockSchurSolver(constraints, len(x0), n_parts=4, precision="mixed")
+    f64 = BlockSchurSolver(constraints, len(x0), n_parts=4, precision="f64")
+    assert mix.jac_dtype == jnp.float32
+    assert any(
+        np.asarray(b.par).dtype == np.float32 for b in mix.system_j.blocks
+    ) or mix.system_j is not mix.system
+    assert f64.system_j is f64.system
+
+
+def test_interiors_partition_not_replicate():
+    """Interior variable lists must PARTITION the non-boundary variables:
+    each part's padded interior width m stays near n_vars/n_parts. A
+    membership bug that replicates global interiors into every part still
+    solves correctly (untouched vars get zero steps) but blows the padded
+    width to ~n_vars — a silent quadratic cost. Pin the structure."""
+    constraints, x0 = _coupled_chain_problem()
+    n_vars = len(x0)
+    n_parts = 8
+    solver = BlockSchurSolver(constraints, n_vars, n_parts=n_parts)
+    assert solver.m <= (n_vars + n_parts - 1) // n_parts + solver.kb
+
+
+def test_weight_zero_degeneracy_matches_main_path():
+    """Framework-wide degeneracy contract: a geometrically degenerate
+    constraint is flagged even at weight 0 (the reference evaluates every
+    constraint regardless of weight; residual_and_flags does too).
+    BlockSchurSolver must agree with the global path, and flag ONLY the
+    genuinely degenerate constraint — a padded lane must never leak a flag
+    onto a healthy constraint (padded lanes route to the dummy cid slot)."""
+    p0, p1, p2, p3 = (DatumPoint(2 * i, 2 * i + 1) for i in range(4))
+    cs = [
+        Constraint.Fixed(0, 0.0), Constraint.Fixed(1, 0.0),
+        Constraint.Distance(p0, p1, 2.0),
+        Constraint.Fixed(4, 1.0), Constraint.Fixed(5, 0.0),
+        Constraint.Distance(p2, p3, 2.0),
+        Constraint.ScalarEqual(3, 7),
+    ]
+    # p1 == p0: the FIRST distance starts geometrically degenerate and is
+    # weighted 0, so the solver never moves it off the singularity.
+    weights = [1.0, 1.0, 0.0, 1.0, 1.0, 1.0, 1.0]
+    x0 = np.array([0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 2.4, 1.6])
+    out = BlockSchurSolver(cs, 8, n_parts=2, weights=weights).solve(x0)
+    c = Config()
+    ref = solve_lm(
+        compile_system(cs, 8, weights), jnp.asarray(x0), c.max_iterations,
+        c.residual_tolerance, c.step_tolerance, c.initial_lambda,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["degenerate"]), np.asarray(ref.deg))
+    assert bool(out["degenerate"][2])          # the disabled-but-degenerate one
+    assert not np.asarray(out["degenerate"])[[0, 1, 3, 4, 5, 6]].any()
+
+
+def test_cg_defaults_pinned():
+    """The documented CG-boundary defaults (docstring of __init__): 1e-5
+    relative tolerance for f32 linear algebra, 1e-12 for f64, 400 max
+    iterations. Kills the constant/branch mutants on those defaults."""
+    constraints, x0 = _coupled_chain_problem()
+    mix = BlockSchurSolver(constraints, len(x0), n_parts=4,
+                           precision="mixed", boundary_solver="cg")
+    f64 = BlockSchurSolver(constraints, len(x0), n_parts=4,
+                           precision="f64", boundary_solver="cg")
+    assert mix.cg_tol == 1e-5
+    assert f64.cg_tol == 1e-12
+    assert mix.cg_max_iters == 400
+
+
+@pytest.mark.parametrize("boundary_solver", ["dense", "cg"])
+def test_converges_from_large_initial_lambda(boundary_solver):
+    """Heavy initial damping must still converge: the damped boundary
+    system is S + lam*I (SPD for any lam >= 0). A damping SIGN flip makes
+    S - lam*I indefinite at lam ~ 1e4, so the Cholesky fails (dense) or CG
+    diverges, every step is rejected, and the solve stalls — this pins the
+    '+' in both boundary paths, which small-lambda tests never exercise."""
+    constraints, x0 = _coupled_chain_problem()
+    cfg = Config(initial_lambda=1e4, max_iterations=120)
+    out = BlockSchurSolver(constraints, len(x0), n_parts=4, config=cfg,
+                           boundary_solver=boundary_solver).solve(x0)
+    assert out["converged"]
+    assert bool(np.asarray(out["satisfied"]).all())
+
+
+def test_cg_option_actually_runs_cg(monkeypatch):
+    """boundary_solver='cg' must dispatch to the PCG loop (not silently
+    fall back to the dense branch). Probe by breaking _pcg."""
+    import ezpz_tpu.parallel.hier as hier_mod
+
+    def boom(*a, **k):
+        raise RuntimeError("pcg probe")
+
+    monkeypatch.setattr(hier_mod, "_pcg", boom)
+    constraints, x0 = _coupled_chain_problem()
+    with pytest.raises(RuntimeError, match="pcg probe"):
+        BlockSchurSolver(constraints, len(x0), n_parts=4,
+                         boundary_solver="cg").solve(np.asarray(x0))
+    # Dense path must be unaffected by the broken _pcg.
+    out = BlockSchurSolver(constraints, len(x0), n_parts=4,
+                           boundary_solver="dense").solve(np.asarray(x0))
+    assert out["converged"]
