@@ -97,7 +97,8 @@ def run(lines: int = 600, copies: int = 64, precision: str = "mixed",
         "value": round(copies / dt, 2),
         "unit": "solves/sec",
         "batch1_latency_us": lat_us,
-        "boundary_solver": boundary_solver,
+        # Report the RESOLVED choice ("auto" picks structurally at build).
+        "boundary_solver": solver.boundary_solver,
         "detail": {
             "system": f"{n_vars} vars / {len(constraints)} eqs coupled chain"
                       f" x {copies} copies (NOT block-diagonal)",
@@ -120,7 +121,7 @@ def main(argv=None) -> int:
     ap.add_argument("--precision", choices=["mixed", "f64"], default="mixed")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--n-parts", type=int, default=None)
-    ap.add_argument("--boundary", choices=["dense", "cg", "banded"],
+    ap.add_argument("--boundary", choices=["dense", "cg", "banded", "auto"],
                     default="dense")
     ap.add_argument("--latency", action="store_true",
                     help="also measure batch=1 synchronous latency")

@@ -52,7 +52,7 @@ from ..ops.kernels import KERNELS
 from ..ops.linalg import (spd_solve, spd_solve_batched, spd_solve_multi,
                           spd_solve_multi_batched)
 from ..solver import LMResult, _init_state, _lm_while_loop, _reference_result
-from .schur import partition_variables
+from .schur import partition_variables, resolve_boundary_solver
 
 
 class BlockSchurSolver:
@@ -115,9 +115,17 @@ class BlockSchurSolver:
         (per-part blocks only touch that part's own boundary slots); a
         hub-like topology whose parts all touch one shared variable makes
         bw ~ n_b and the path degenerates to dense cost — check
-        ``self.band_bw`` before choosing it."""
+        ``self.band_bw`` before choosing it.
+
+        ``boundary_solver="auto"``: pick one of the three structurally at
+        build time (``schur.resolve_boundary_solver``: banded for thin
+        bands, dense for small boundaries, CG for the rest); the resolved
+        choice is readable back from ``self.boundary_solver``."""
         assert precision in ("f64", "mixed"), precision
-        assert boundary_solver in ("dense", "cg", "banded"), boundary_solver
+        assert boundary_solver in ("dense", "cg", "banded", "auto"), \
+            boundary_solver
+        # "auto" resolves structurally once n_b and band_bw are known
+        # (end of __init__); see schur.resolve_boundary_solver.
         self.boundary_solver = boundary_solver
         if cg_tol is None:
             cg_tol = 1e-5 if precision == "mixed" else 1e-12
@@ -232,6 +240,9 @@ class BlockSchurSolver:
         invalid = (rows >= n_b) | (cols >= n_b) | (off < 0) | (off > bw)
         self.band_rows = np.where(invalid, n_b, rows)
         self.band_off = np.where(invalid, bw + 1, off)  # OOB -> dropped
+        self.boundary_solver = resolve_boundary_solver(
+            self.boundary_solver, n_b, bw
+        )
         imask = np.zeros((P, m))
         for p in range(P):
             imask[p, : len(interior[p])] = 1.0

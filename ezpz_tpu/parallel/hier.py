@@ -50,7 +50,7 @@ from ..models.compiled import EPSILON
 from ..ops.kernels import KERNELS
 from ..ops.linalg import (spd_solve, spd_solve_batched, spd_solve_multi,
                           spd_solve_multi_batched)
-from .schur import partition_variables
+from .schur import partition_variables, resolve_boundary_solver
 
 try:  # jax >= 0.4.35
     from jax import shard_map as _shard_map
@@ -129,7 +129,8 @@ class ShardedBlockSchurSolver:
         cg_max_iters: int = 400,
     ):
         assert precision in ("f64", "mixed"), precision
-        assert boundary_solver in ("dense", "cg", "banded"), boundary_solver
+        assert boundary_solver in ("dense", "cg", "banded", "auto"), \
+            boundary_solver
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), ("d",))
         self.mesh = mesh
@@ -226,6 +227,9 @@ class ShardedBlockSchurSolver:
             if r.size
         ]
         self.band_bw = max(spans, default=0)
+        self.boundary_solver = resolve_boundary_solver(
+            self.boundary_solver, n_b, self.band_bw
+        )
 
         def dev_shape(a):
             return a.reshape((D, Pl) + a.shape[1:])

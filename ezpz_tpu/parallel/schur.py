@@ -61,6 +61,38 @@ class ShardedLayout:
     local_to_global: np.ndarray  # (D, n_i + n_b)
 
 
+def resolve_boundary_solver(
+    requested: str, n_b: int, band_bw: int, banded_ok: bool = True
+) -> str:
+    """Resolve ``boundary_solver="auto"`` to a concrete method from the
+    coupling STRUCTURE (all sizes known at build time — no tracing):
+
+    * ``banded`` when the Schur complement's half-bandwidth is a small
+      fraction of ``n_b`` (chain-like coupling: ``4*(bw+1) <= n_b``):
+      exact direct solve in O(n_b*bw^2), asymptotically beats both
+      alternatives, and — unlike CG — keeps LM iteration counts identical
+      to the dense path (the step is exact).
+    * ``dense`` for small boundaries (``n_b <= 256``): one Cholesky of a
+      small matrix is a single fused XLA op whose O(n_b^3) term is below
+      dispatch noise at this size, and the step stays exact.
+    * ``cg`` otherwise (large, non-chain couplings): Jacobi-PCG matvecs
+      never materialize S; the LM accept/reject loop absorbs the inexact
+      step (inexact Newton).
+
+    The thresholds are structural, not measured cutovers: banded's win
+    over dense grows like (n_b/bw)^2 and CG's win over dense grows with
+    n_b, so the exact crossover barely matters — each branch is chosen
+    where it is asymptotically safe.
+    """
+    if requested != "auto":
+        return requested
+    if banded_ok and n_b > 0 and band_bw > 0 and 4 * (band_bw + 1) <= n_b:
+        return "banded"
+    if n_b <= 256:
+        return "dense"
+    return "cg"
+
+
 def partition_variables(
     constraints: Sequence[Constraint], n_vars: int, n_devices: int,
     block_of_var: Optional[np.ndarray] = None,
@@ -161,7 +193,9 @@ class ShardedSchurSolver:
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), ("d",))
         assert precision in ("f64", "mixed"), precision
-        assert boundary_solver in ("dense", "cg"), boundary_solver
+        assert boundary_solver in ("dense", "cg", "auto"), boundary_solver
+        # "auto" resolves once n_b is known (below); this solver has no
+        # banded path, so resolution only picks dense vs cg.
         self.boundary_solver = boundary_solver
         if cg_tol is None:
             cg_tol = 1e-5 if precision == "mixed" else 1e-12
@@ -190,6 +224,9 @@ class ShardedSchurSolver:
         n_i = max((len(iv) for iv in interior), default=0)
         n_b = len(boundary)
         self.n_i, self.n_b = n_i, n_b
+        self.boundary_solver = resolve_boundary_solver(
+            self.boundary_solver, n_b, 0, banded_ok=False
+        )
 
         # Local index maps.
         local_to_global = -np.ones((D, n_i + n_b), dtype=np.int64)

@@ -354,3 +354,47 @@ def test_cg_option_actually_runs_cg(monkeypatch):
     out = BlockSchurSolver(constraints, len(x0), n_parts=4,
                            boundary_solver="dense").solve(np.asarray(x0))
     assert out["converged"]
+
+
+# -- boundary_solver="auto" ---------------------------------------------------
+
+def test_resolve_boundary_solver_policy():
+    """The structural auto policy (schur.resolve_boundary_solver): banded
+    for thin bands, dense for small boundaries, CG for large non-chain
+    couplings; explicit choices pass through untouched."""
+    from ezpz_tpu.parallel.schur import resolve_boundary_solver as r
+
+    assert r("auto", n_b=100, band_bw=5) == "banded"       # 4*6 <= 100
+    assert r("auto", n_b=100, band_bw=40) == "dense"       # band too fat
+    assert r("auto", n_b=500, band_bw=200) == "cg"         # big + fat band
+    assert r("auto", n_b=0, band_bw=0) == "dense"          # uncoupled
+    assert r("auto", n_b=100, band_bw=5, banded_ok=False) == "dense"
+    assert r("auto", n_b=500, band_bw=5, banded_ok=False) == "cg"
+    for explicit in ("dense", "cg", "banded"):
+        assert r(explicit, n_b=500, band_bw=2) == explicit
+
+
+def test_auto_picks_banded_on_long_chain_and_matches_dense():
+    """A long chain of parts has a thin-banded Schur complement: auto must
+    resolve to 'banded' and (the step being exact) produce the dense
+    path's answer with the dense path's iteration count."""
+    constraints, x0 = _coupled_chain_problem(n_blocks=40, pts_per_block=3)
+    auto = BlockSchurSolver(constraints, len(x0), n_parts=40,
+                            boundary_solver="auto", precision="f64")
+    assert auto.boundary_solver == "banded", (
+        auto.boundary_solver, auto.n_b, auto.band_bw)
+    dense = BlockSchurSolver(constraints, len(x0), n_parts=40,
+                             boundary_solver="dense", precision="f64")
+    oa, od = auto.solve(x0), dense.solve(x0)
+    assert oa["converged"] and od["converged"]
+    assert oa["iterations"] == od["iterations"]
+    np.testing.assert_allclose(oa["x"], od["x"], atol=1e-8)
+
+
+def test_auto_picks_dense_on_small_boundary():
+    constraints, x0 = _coupled_chain_problem(n_blocks=3, pts_per_block=4)
+    s = BlockSchurSolver(constraints, len(x0), n_parts=3,
+                         boundary_solver="auto")
+    assert s.boundary_solver == "dense", (s.boundary_solver, s.band_bw)
+    out = s.solve(x0)
+    assert out["converged"] and bool(np.asarray(out["satisfied"]).all())
