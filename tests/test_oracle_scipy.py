@@ -95,3 +95,23 @@ def test_inconsistent_compromise_matches_scipy():
     ours_cost = 0.5 * float(np.sum(residual(np.asarray(ours.final_values)) ** 2))
     assert abs(ours_cost - ref.cost) < 1e-10
     np.testing.assert_allclose(np.asarray(ours.final_values), ref.x, atol=1e-5)
+
+
+def test_satisfaction_epsilon_decade():
+    """EPSILON = 1e-4 (``ezpz/src/lib.rs:43``): a residual of 2.5e-4 —
+    inside the decade ABOVE the tolerance — must be UNSATISFIED through
+    both satisfaction paths. Pins the tolerance's decade (a 1e-3 epsilon
+    would wrongly report satisfaction)."""
+    import jax.numpy as jnp
+
+    cs = [Constraint.Fixed(0, 0.0), Constraint.Fixed(0, 5e-4)]
+    system = compile_system(cs, 1)
+    x = jnp.array([2.5e-4])
+    sat = np.asarray(system.constraint_satisfaction(x))
+    assert not sat[0] and not sat[1]
+    r, _deg = system.residual_and_flags(x)
+    sat_r = np.asarray(system.satisfaction_from_residual(r))
+    assert not sat_r[0] and not sat_r[1]
+    # Well inside the tolerance IS satisfied (first constraint only).
+    sat_in = np.asarray(system.constraint_satisfaction(jnp.array([1e-5])))
+    assert sat_in[0] and not sat_in[1]
