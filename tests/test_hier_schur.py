@@ -149,3 +149,24 @@ def test_banded_boundary_matches_cg():
     assert out["satisfied"].all()
     np.testing.assert_allclose(out["x"], ref["x"], rtol=0, atol=1e-6)
     assert 0 < solver.band_bw < solver.n_b
+
+
+def test_auto_boundary_resolves_structurally():
+    """boundary_solver='auto' on the mesh: a long chain resolves to
+    'banded' (thin band), a hub topology to 'dense'/'cg' by boundary
+    size — and the resolved solver still converges."""
+    _need_devices()
+    constraints, x0 = _coupled_chain(24)
+    s = ShardedBlockSchurSolver(constraints, len(x0), n_parts=8,
+                                precision="mixed", boundary_solver="auto")
+    assert s.boundary_solver == "banded", (s.boundary_solver, s.band_bw, s.n_b)
+    out = s.solve(x0)
+    assert out["converged"] and out["satisfied"].all()
+
+    hub_cs, hub_x0, pov = _hub(17, cluster=4)
+    h = ShardedBlockSchurSolver(hub_cs, len(hub_x0), part_of_var=pov,
+                                precision="mixed", boundary_solver="auto")
+    # Hub: every part shares the hub line's variables -> fat band -> not
+    # banded; small boundary -> dense.
+    assert h.boundary_solver in ("dense", "cg")
+    assert h.boundary_solver == ("dense" if h.n_b <= 256 else "cg")
