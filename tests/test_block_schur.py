@@ -398,3 +398,22 @@ def test_auto_picks_dense_on_small_boundary():
     assert s.boundary_solver == "dense", (s.boundary_solver, s.band_bw)
     out = s.solve(x0)
     assert out["converged"] and bool(np.asarray(out["satisfied"]).all())
+
+
+def test_banded_boundary_under_batch_vmap():
+    """The banded direct solve is a lax.scan — it must survive vmap
+    (solve_batch) unchanged: batched banded solves equal per-guess
+    banded solves."""
+    constraints, x0 = _coupled_chain_problem(n_blocks=16, pts_per_block=3)
+    s = BlockSchurSolver(constraints, len(x0), n_parts=16,
+                         boundary_solver="banded", precision="f64")
+    rng = np.random.default_rng(7)
+    x0s = np.stack([x0 + rng.uniform(-0.05, 0.05, len(x0)) for _ in range(3)])
+    res, sat = s.solve_batch(x0s)
+    assert bool(np.asarray(res.converged).all())
+    assert bool(np.asarray(sat).all())
+    for i in range(3):
+        single = s.solve(x0s[i])
+        assert single["iterations"] == int(np.asarray(res.iterations)[i])
+        np.testing.assert_allclose(np.asarray(res.x)[i], single["x"],
+                                   atol=1e-12)
