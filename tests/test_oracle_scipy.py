@@ -115,3 +115,27 @@ def test_satisfaction_epsilon_decade():
     # Well inside the tolerance IS satisfied (first constraint only).
     sat_in = np.asarray(system.constraint_satisfaction(jnp.array([1e-5])))
     assert sat_in[0] and not sat_in[1]
+
+
+def test_weighted_inconsistent_matches_scipy():
+    """Weights must scale residual AND Jacobian rows the same way
+    (``lib.rs``: the weight multiplies the whole equation). On an
+    inconsistent pair Fixed(v,0)@w=1 vs Fixed(v,1)@w=3 the weighted
+    least-squares minimizer is v = 9/10 — scipy agrees; a solver that
+    divides the Jacobian by the weight instead lands at v = 1/10."""
+    import jax.numpy as jnp
+    from ezpz_tpu.config import Config
+    from ezpz_tpu.solver import solve_lm
+
+    cs = [Constraint.Fixed(0, 0.0), Constraint.Fixed(0, 1.0)]
+    system = compile_system(cs, 1, weights=[1.0, 3.0])
+    c = Config()
+    out = solve_lm(system, jnp.array([0.4]), c.max_iterations,
+                   c.residual_tolerance, c.step_tolerance, c.initial_lambda)
+    ref = least_squares(lambda v: [v[0] - 0.0, 3.0 * (v[0] - 1.0)],
+                        [0.4], method="lm", xtol=1e-14, ftol=1e-14)
+    np.testing.assert_allclose(float(out.x[0]), ref.x[0], atol=1e-9)
+    np.testing.assert_allclose(float(out.x[0]), 0.9, atol=1e-9)
+    # The dense Jacobian (freedom analysis path) scales rows by weight too.
+    J = np.asarray(system.jacobian_dense(jnp.array([0.9])))
+    np.testing.assert_allclose(J[:, 0], [1.0, 3.0])
