@@ -139,3 +139,37 @@ def test_weighted_inconsistent_matches_scipy():
     # The dense Jacobian (freedom analysis path) scales rows by weight too.
     J = np.asarray(system.jacobian_dense(jnp.array([0.9])))
     np.testing.assert_allclose(J[:, 0], [1.0, 3.0])
+
+
+def test_compiled_system_structural_contracts():
+    """Three contracts the full mutation run showed were unpinned:
+    (1) ``astype`` really retypes — the mixed path's f32 twin must not
+    silently stay f64 (and same-dtype astype returns self);
+    (2) ``block_row_slices`` accounts dim-2 kernel rows as nb*dim;
+    (3) ``satisfaction_from_residual`` divides the weighted residual back
+    to the unweighted one — a low-weight violated constraint must stay
+    unsatisfied."""
+    import jax.numpy as jnp
+
+    p, q = DatumPoint(0, 1), DatumPoint(2, 3)
+    cs = [Constraint.PointsCoincident(p, q), Constraint.Fixed(0, 0.0)]
+    system = compile_system(cs, 4)
+    s32 = system.astype(jnp.float32)
+    assert s32.dtype == jnp.float32
+    assert all(np.asarray(b.weight).dtype == np.float32 for b in s32.blocks)
+    assert system.astype(system.dtype) is system
+
+    slices = system.block_row_slices()
+    assert system.n_rows == 3  # 2 (points_coincident) + 1 (fixed)
+    assert max(hi for _lo, hi in slices) == 3
+    assert sorted(hi - lo for lo, hi in slices) == [1, 2]
+
+    cs2 = [Constraint.Fixed(0, 0.0), Constraint.Fixed(0, 1.0)]
+    sys2 = compile_system(cs2, 1, weights=[1.0, 1e-3])
+    x = jnp.array([1e-5])  # second constraint violated by ~1.0
+    r, _deg = sys2.residual_and_flags(x)
+    sat = np.asarray(sys2.satisfaction_from_residual(r))
+    assert sat[0] and not sat[1]
+    # The evaluation-based path agrees.
+    sat_e = np.asarray(sys2.constraint_satisfaction(x))
+    assert sat_e[0] and not sat_e[1]
