@@ -139,6 +139,14 @@ def test_weighted_inconsistent_matches_scipy():
     # The dense Jacobian (freedom analysis path) scales rows by weight too.
     J = np.asarray(system.jacobian_dense(jnp.array([0.9])))
     np.testing.assert_allclose(J[:, 0], [1.0, 3.0])
+    # And the matrix-free path (solve_lm_cg via jacobian_factors) weights
+    # its per-block Jacobians identically — an unweighted Jt r would pull
+    # the minimizer to 0.5 instead of 0.9.
+    from ezpz_tpu.solver import solve_lm_cg
+    out_cg = solve_lm_cg(system, jnp.array([0.4]), c.max_iterations,
+                         c.residual_tolerance, c.step_tolerance,
+                         c.initial_lambda)
+    np.testing.assert_allclose(float(out_cg.x[0]), 0.9, atol=1e-7)
 
 
 def test_compiled_system_structural_contracts():
