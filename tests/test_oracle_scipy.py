@@ -181,3 +181,32 @@ def test_compiled_system_structural_contracts():
     # The evaluation-based path agrees.
     sat_e = np.asarray(sys2.constraint_satisfaction(x))
     assert sat_e[0] and not sat_e[1]
+
+
+def test_zero_weight_constraint_uses_exact_satisfaction():
+    """``all_weights_positive`` gates the fast satisfaction path (divide
+    the weighted residual by the weight): with a weight of EXACTLY zero
+    that division is 0/0, so the solver must fall back to re-evaluating
+    constraints at the solution. A satisfied weight-0 duplicate must not
+    be reported unsatisfied — and the weighted residual itself must carry
+    w * res (here [0, 3], not [0, 1/3])."""
+    import jax.numpy as jnp
+    from ezpz_tpu.constraints import ConstraintRequest
+
+    reqs = [
+        ConstraintRequest.highest_priority(Constraint.Fixed(0, 0.5)),
+        ConstraintRequest.highest_priority(
+            Constraint.Fixed(0, 0.5)).with_weight(0.0),
+    ]
+    out = ez.solve(reqs, [(0, 0.37)])
+    assert out.converged
+    assert out.unsatisfied == []  # both exactly satisfiable at x = 0.5
+
+    # Direct weighted-residual value pin (residual and residual_and_flags).
+    system = compile_system(
+        [Constraint.Fixed(0, 0.0), Constraint.Fixed(0, 1.0)], 1,
+        weights=[1.0, 3.0])
+    x = jnp.array([0.0])
+    np.testing.assert_allclose(np.asarray(system.residual(x)), [0.0, -3.0])
+    r, _deg = system.residual_and_flags(x)
+    np.testing.assert_allclose(np.asarray(r), [0.0, -3.0])
