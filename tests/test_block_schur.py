@@ -417,3 +417,59 @@ def test_banded_boundary_under_batch_vmap():
         assert single["iterations"] == int(np.asarray(res.iterations)[i])
         np.testing.assert_allclose(np.asarray(res.x)[i], single["x"],
                                    atol=1e-12)
+
+
+def test_banded_step_equals_dense_step_exactly():
+    """White-box: the banded boundary path is an EXACT direct solve, so a
+    single damped Schur step must equal the dense path's step to f64
+    round-off — iteration-level agreement alone can't see a corrupted
+    band (LM absorbs inexact steps on easy chains; e.g. dropping every
+    off==0 band entry still converged in the same iteration count)."""
+    import jax.numpy as jnp
+
+    constraints, x0 = _coupled_chain_problem(n_blocks=10, pts_per_block=3)
+    n = len(x0)
+    dense = BlockSchurSolver(constraints, n, n_parts=10, precision="f64",
+                             boundary_solver="dense")
+    banded = BlockSchurSolver(constraints, n, n_parts=10, precision="f64",
+                              boundary_solver="banded")
+    assert banded.band_bw > 0
+    x = jnp.asarray(x0)
+    for lam in (1e-10, 1e-3, 10.0):
+        dd, fd, _ = dense._schur_step(x, jnp.asarray(lam))
+        db, fb, _ = banded._schur_step(x, jnp.asarray(lam))
+        assert not bool(fd) and not bool(fb)
+        assert float(jnp.max(jnp.abs(dd))) > 0  # a genuine step
+        np.testing.assert_allclose(np.asarray(db), np.asarray(dd),
+                                   rtol=0, atol=1e-10, err_msg=f"lam={lam}")
+
+
+def test_banded_step_exact_with_full_span_entry():
+    """Chain fixtures leave the band's OUTERMOST diagonal exactly zero
+    (band_bw over-estimates their true coupling distance), so they can't
+    see a corrupted band edge. A triangle coupling (parts 0-1, 1-2, AND
+    0-2) puts a direct nonzero at the full span — the banded step must
+    still equal the dense step to f64 round-off."""
+    import jax.numpy as jnp
+
+    cs = [
+        Constraint.Fixed(0, 0.0), Constraint.Fixed(3, 2.0),
+        Constraint.Fixed(5, 5.0),
+        Constraint.ScalarEqual(0, 1), Constraint.ScalarEqual(2, 3),
+        Constraint.ScalarEqual(4, 5),
+        Constraint.ScalarEqual(1, 2),   # parts 0-1
+        Constraint.ScalarEqual(2, 4),   # parts 1-2
+        Constraint.ScalarEqual(1, 4),   # parts 0-2: entry at the band edge
+    ]
+    pov = np.array([0, 0, 1, 1, 2, 2])
+    x0 = jnp.asarray(np.arange(6, dtype=float) * 0.7 + 0.3)
+    dense = BlockSchurSolver(cs, 6, part_of_var=pov, precision="f64",
+                             boundary_solver="dense")
+    banded = BlockSchurSolver(cs, 6, part_of_var=pov, precision="f64",
+                              boundary_solver="banded")
+    assert banded.band_bw == 2 and banded.n_b == 3
+    dd, fd, _ = dense._schur_step(x0, jnp.asarray(1e-3))
+    db, fb, _ = banded._schur_step(x0, jnp.asarray(1e-3))
+    assert not bool(fd) and not bool(fb)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(dd),
+                               rtol=0, atol=1e-12)
