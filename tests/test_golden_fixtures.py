@@ -344,3 +344,68 @@ def test_point_basically_already_on_arc_stability():
     s = solved_with.get_point("line4start")
     change = math.hypot(s.x - initial_line4_start[0], s.y - initial_line4_start[1])
     assert change <= initial_distance_from_arc * 10.0
+
+
+def test_mixed_entity_layout_and_extraction():
+    """Variable layout + result extraction with a point, TWO circles, and
+    an arc in one problem (no corpus fixture mixes multiples of each).
+    Pins the layout constants (2/3/6 vars per point/circle/arc) and the
+    extraction base offsets — with a single circle or no arcs, a wrong
+    stride or a sign-flipped offset is self-consistently invisible
+    (mutation-found)."""
+    from ezpz_tpu.textual import Problem
+
+    txt = """# constraints
+point p
+circle a
+circle b
+arc k
+arc m
+p = (1, 2)
+radius(a, 3.0)
+a.center = (0, 0)
+radius(b, 0.5)
+b.center = (4, 4)
+k.center.x = 10
+k.center.y = 0
+m.center.x = -7
+m.center.y = 1
+
+# guesses
+p roughly (1.2, 1.9)
+a.center roughly (0.1, 0.2)
+a.radius roughly 2.5
+b.center roughly (4.1, 3.8)
+b.radius roughly 0.4
+k.center roughly (10.1, 0.1)
+k.a roughly (10, 2)
+k.b roughly (12, 0)
+m.center roughly (-7.2, 1.1)
+m.a roughly (-7, 3)
+m.b roughly (-5, 1)
+"""
+    problem = Problem.from_str(txt)
+    system = problem.to_constraint_system()
+    # Layout: 1 point (2) + 2 circles (3 each) + 1 arc (6) = 14 variables.
+    assert len(system.initial_guesses) == 2 + 2 * 3 + 2 * 6
+    # The CLI timing protocol is 100 re-solves (ezpz-cli/src/main.rs:163).
+    import inspect
+    assert inspect.signature(system.time_resolves).parameters["iters"].default == 100
+
+    solved = system.solve_with_config_analysis()
+    assert solved.is_satisfied()
+    assert_points_eq(solved.get_point("p"), (1.0, 2.0))
+    circle_a = solved.get_circle("a")
+    assert_nearly_eq(circle_a.radius, 3.0)
+    assert_points_eq(circle_a.center, (0.0, 0.0))
+    circle_b = solved.get_circle("b")       # i=1: stride + offset visible
+    assert_nearly_eq(circle_b.radius, 0.5)
+    assert_points_eq(circle_b.center, (4.0, 4.0))
+    arc_k = solved.get_arc("k")             # behind 2 circles: base offset
+    assert_points_eq(arc_k.center, (10.0, 0.0))
+    # Arc endpoints keep their (unconstrained) guess neighborhoods — they
+    # exist and extract from the right slots.
+    assert abs(arc_k.a.x - 10) < 1.0 and abs(arc_k.b.x - 12) < 1.0
+    arc_m = solved.get_arc("m")             # i=1: arc stride visible
+    assert_points_eq(arc_m.center, (-7.0, 1.0))
+    assert abs(arc_m.a.x - (-7)) < 1.0 and abs(arc_m.b.x - (-5)) < 1.0
