@@ -473,3 +473,23 @@ def test_banded_step_exact_with_full_span_entry():
     assert not bool(fd) and not bool(fb)
     np.testing.assert_allclose(np.asarray(db), np.asarray(dd),
                                rtol=0, atol=1e-12)
+
+
+def test_banded_option_actually_runs_banded(monkeypatch):
+    """boundary_solver='banded' must dispatch to the banded direct solve
+    and 'dense' must NOT: the band covers every Schur entry (all
+    contributions are within-part blocks), so a swapped dispatch is
+    value-invisible and only a path probe can pin it."""
+    import ezpz_tpu.ops.banded as banded_mod
+
+    def boom(*a, **k):
+        raise RuntimeError("banded probe")
+
+    monkeypatch.setattr(banded_mod, "banded_spd_solve", boom)
+    constraints, x0 = _coupled_chain_problem()
+    with pytest.raises(RuntimeError, match="banded probe"):
+        BlockSchurSolver(constraints, len(x0), n_parts=4,
+                         boundary_solver="banded").solve(np.asarray(x0))
+    out = BlockSchurSolver(constraints, len(x0), n_parts=4,
+                           boundary_solver="dense").solve(np.asarray(x0))
+    assert out["converged"]
