@@ -72,11 +72,14 @@ coverage *ARGS="tests/ -q":
 # each mutant's run fast; see tools/mutate.py for usage.
 #
 # This recipe is the quick SAMPLED pass. The precision-critical modules
-# (ops/ds.py, parallel/block_schur.py, models/compiled.py,
-# textual/executor.py) were run IN FULL in round 3 — protocol, kill
-# rates, new killer tests, and the equivalent-survivor adjudication are
-# in docs/MUTATION.md. Full runs mutate files in place: run them in a
-# disposable copy of the repo, never the live tree (see mutants-full).
+# were run IN FULL in round 3 — raw kill rates before survivor-driven
+# tests: ops/ds.py 127/170 (75%), parallel/block_schur.py 54/64 (84%,
+# second run), models/compiled.py 8/22 (36%), textual/executor.py 41/47
+# (87%); after the new tests every NON-EQUIVALENT mutant is killed
+# (hand-confirmed per survivor). Protocol, killer tests, and the
+# equivalent-survivor adjudication: docs/MUTATION.md. Full runs mutate
+# files in place: run them in a disposable copy of the repo, never the
+# live tree (see mutants-full).
 mutants:
     python tools/mutate.py ezpz_tpu/utils/warnings.py -- tests/test_warnings_lint.py -q
     python tools/mutate.py ezpz_tpu/solver.py --sample 40 -- \
