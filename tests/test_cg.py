@@ -52,3 +52,25 @@ def test_jtj_matvec_matches_dense_jtj():
             np.asarray(jtj @ v),
             atol=1e-10,
         )
+
+
+def test_cg_warm_start_contract():
+    """_cg must honour a nonzero initial guess (r0 = b - A x0): started AT
+    the solution it stays there; started nearby it still converges to the
+    same point. (The LM caller always passes zeros, so only a direct unit
+    test can see the initial-residual sign — mutation-found.)"""
+    from ezpz_tpu.solver import _cg
+
+    rng = np.random.default_rng(3)
+    M = rng.standard_normal((4, 4))
+    A = M @ M.T + 4 * np.eye(4)
+    b = rng.standard_normal(4)
+    xstar = np.linalg.solve(A, b)
+    mv = lambda v: jnp.asarray(A) @ v
+    at_solution = _cg(mv, jnp.asarray(b), jnp.asarray(xstar), 1e-13, 50)
+    np.testing.assert_allclose(np.asarray(at_solution), xstar, atol=1e-10)
+    near = _cg(mv, jnp.asarray(b), jnp.asarray(xstar + 0.1), 1e-13, 50)
+    np.testing.assert_allclose(np.asarray(near), xstar, atol=1e-8)
+    # The documented default inner tolerance (f64 path).
+    import inspect
+    assert inspect.signature(solve_lm_cg).parameters["cg_tol"].default == 1e-12
