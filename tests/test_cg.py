@@ -71,6 +71,8 @@ def test_cg_warm_start_contract():
     np.testing.assert_allclose(np.asarray(at_solution), xstar, atol=1e-10)
     near = _cg(mv, jnp.asarray(b), jnp.asarray(xstar + 0.1), 1e-13, 50)
     np.testing.assert_allclose(np.asarray(near), xstar, atol=1e-8)
-    # The documented default inner tolerance (f64 path).
+    # The documented default inner tolerance and iteration budget (f64 path).
     import inspect
-    assert inspect.signature(solve_lm_cg).parameters["cg_tol"].default == 1e-12
+    params = inspect.signature(solve_lm_cg).parameters
+    assert params["cg_tol"].default == 1e-12
+    assert params["cg_max_iters"].default == 400
