@@ -304,3 +304,26 @@ def test_distance_var_finiteness_and_symmetry():
             d = out.final_values[4]
             assert np.isfinite(d)
             assert abs(d - true_d) < 1e-5
+
+
+def test_line_tangent_circle_slanted_values():
+    """Direct value pin for k_line_tangent_circle on a SLANTED line: every
+    corpus tangency fixture is axis-aligned (uy == 0), where the
+    |p1-p0|^2 = ux^2 + uy^2 sum degenerates to one term and a sign flip
+    between the terms is invisible (mutation-found). 3-4-5 geometry gives
+    exact analytic residuals."""
+    import jax.numpy as jnp
+    from ezpz_tpu.ops.kernels import k_line_tangent_circle
+
+    # Line (0,0)-(3,4): |u| = 5. Center (0,5): cross(u, c-p0) = 15,
+    # signed distance 3. side=+1, r=2 -> residual 1; r=3 -> tangent (0).
+    v = jnp.asarray([0.0, 0.0, 3.0, 4.0, 0.0, 5.0, 2.0])
+    res, deg = k_line_tangent_circle(v, jnp.asarray([1.0]))
+    assert not bool(deg)
+    np.testing.assert_allclose(float(res[0]), 1.0, atol=1e-12)
+    v_t = jnp.asarray([0.0, 0.0, 3.0, 4.0, 0.0, 5.0, 3.0])
+    res_t, _ = k_line_tangent_circle(v_t, jnp.asarray([1.0]))
+    np.testing.assert_allclose(float(res_t[0]), 0.0, atol=1e-12)
+    # Right side flips the signed distance: residual -3 - 2 = -5.
+    res_r, _ = k_line_tangent_circle(v, jnp.asarray([-1.0]))
+    np.testing.assert_allclose(float(res_r[0]), -5.0, atol=1e-12)
