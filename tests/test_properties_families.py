@@ -327,3 +327,28 @@ def test_line_tangent_circle_slanted_values():
     # Right side flips the signed distance: residual -3 - 2 = -5.
     res_r, _ = k_line_tangent_circle(v, jnp.asarray([-1.0]))
     np.testing.assert_allclose(float(res_r[0]), -5.0, atol=1e-12)
+
+
+def test_symmetric_degenerate_branch_values():
+    """k_symmetric's degenerate branch emits the RAW reflect value with a
+    zero-guarded denominator (deliberate deviation from the reference's
+    NaN; kernels.py:298-306). Pin those raw values analytically — the
+    only other cover is the DS parity test, outside this file's mutation
+    selection."""
+    import jax.numpy as jnp
+    from ezpz_tpu.ops.kernels import k_symmetric
+
+    # Mirror endpoints nearly coincide: r = |q-p|^2 = 2.5e-3, r^2 < 1e-4
+    # -> degenerate, but r != 0 so the raw value divides by the TRUE r.
+    v = jnp.asarray([0.0, 0.0, 0.05, 0.0, 1.0, 2.0, 3.0, 4.0])
+    res, deg = k_symmetric(v, jnp.zeros((0,)))
+    assert bool(deg)
+    # reflect((1,2), d=(0.05,0)) = (2*0.05*0.05/0.0025 - 1, -2) = (1, -2)
+    np.testing.assert_allclose(float(res[0]), 1.0 - 3.0 + 0.0, atol=1e-12)
+    np.testing.assert_allclose(float(res[1]), -2.0 - 4.0 + 0.0, atol=1e-12)
+    # Exactly coincident endpoints: guarded denominator 1.0, still finite.
+    v0 = jnp.asarray([0.0, 0.0, 0.0, 0.0, 1.0, 2.0, 3.0, 4.0])
+    res0, deg0 = k_symmetric(v0, jnp.zeros((0,)))
+    assert bool(deg0) and np.isfinite(np.asarray(res0)).all()
+    np.testing.assert_allclose(float(res0[0]), -1.0 - 3.0, atol=1e-12)
+    np.testing.assert_allclose(float(res0[1]), -2.0 - 4.0, atol=1e-12)
