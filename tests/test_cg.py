@@ -76,3 +76,21 @@ def test_cg_warm_start_contract():
     params = inspect.signature(solve_lm_cg).parameters
     assert params["cg_tol"].default == 1e-12
     assert params["cg_max_iters"].default == 400
+
+
+def test_cg_krylov_efficiency():
+    """Exact CG on an SPD n x n system converges within ~n iterations.
+    Run with a budget of n+2: only the true conjugate direction update
+    p = r + (rs_new/rs) p gets there — a corrupted recurrence (e.g. a
+    sign flip, mutation-found) loses conjugacy and stalls far from the
+    solution inside the same budget."""
+    from ezpz_tpu.solver import _cg
+
+    rng = np.random.default_rng(5)
+    M = rng.standard_normal((16, 16))
+    A = M @ M.T + 0.5 * np.eye(16)
+    b = rng.standard_normal(16)
+    xstar = np.linalg.solve(A, b)
+    mv = lambda v: jnp.asarray(A) @ v
+    x = _cg(mv, jnp.asarray(b), jnp.zeros(16), 1e-12, 18)
+    np.testing.assert_allclose(np.asarray(x), xstar, atol=1e-8)

@@ -495,3 +495,26 @@ def test_fused_degenerate_flags():
     deg = np.asarray(out.degenerate)
     assert deg[:, 2].all()
     assert not deg[:, 0].any() and not deg[:, 1].any()
+
+
+def test_ccw_angle_less_boundary_angle_contract():
+    """ccw_angle_less's documented tie-breaks at exact boundary angles
+    (measure-zero for random inputs, so the random agreement test above
+    cannot see them; mutation-found):
+
+    * angle(s->p) exactly 0 (p parallel to s, same direction) counts as
+      inside the first half-turn -- the half-plane membership must come
+      from the true dot product sign at cross == 0;
+    * p parallel to e (equal angles) is NOT "less" -- the in-half
+      comparison is strict."""
+    from ezpz_tpu.ops.kernels import ccw_angle_less
+
+    def f(*args):
+        return bool(ccw_angle_less(*[jnp.asarray(float(a)) for a in args]))
+
+    # angle 0: s=(1,1), p=2s (cross==0, dot>0), e at +90deg -> 0 < pi/2.
+    assert f(1, 1, 2, 2, -1, 1) is True
+    # angle pi: p=-3s (cross==0, dot<0) -> pi < pi/4 is False.
+    assert f(1, 1, -3, -3, 0, 1) is False
+    # equal angles: p = 2e exactly -> "less" must be False (strict).
+    assert f(1, 0, 0, 2, 0, 1) is False

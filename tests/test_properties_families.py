@@ -352,3 +352,39 @@ def test_symmetric_degenerate_branch_values():
     assert bool(deg0) and np.isfinite(np.asarray(res0)).all()
     np.testing.assert_allclose(float(res0[0]), -1.0 - 3.0, atol=1e-12)
     np.testing.assert_allclose(float(res0[1]), -2.0 - 4.0, atol=1e-12)
+
+
+def test_circle_tangent_circle_degeneracy_boundary_is_inclusive():
+    """Center separation with |a-b|^2 exactly == EPSILON-guard 1e-8: the
+    degenerate flag uses ``q <= _EPS2`` (inclusive). dx = sqrt(1e-8) is an
+    exact f64 tie (dx*dx == 1e-8 bitwise), pinning the comparison's
+    closedness (mutation-found boundary)."""
+    import jax.numpy as jnp
+
+    from ezpz_tpu.ops.kernels import k_circle_tangent_circle
+
+    dx = float(np.sqrt(np.float64(1e-8)))
+    assert dx * dx == 1e-8
+    v = [jnp.asarray(x) for x in (0.0, 0.0, 1.0, dx, 0.0, 2.0)]
+    rows, deg = k_circle_tangent_circle(v, [jnp.asarray(0.0)])
+    assert bool(deg)
+    assert np.isfinite(np.asarray(rows)).all()
+
+
+def test_symmetric_degeneracy_boundary_is_exclusive():
+    """k_symmetric flags degeneracy on ``(r*r) < EPSILON`` (strict, the
+    reference's comparison of the squared squared mirror length,
+    constraints.rs:2378-2383). Engineered exact tie: dx, dy chosen so
+    fl(dx^2 + dy^2) == 0.01 and fl(0.01^2) == EPSILON bitwise -- the flag
+    must stay False at the tie (mutation-found boundary)."""
+    import jax.numpy as jnp
+
+    from ezpz_tpu.ops.kernels import EPSILON, k_symmetric
+
+    dx, dy = 0.07806247497997998, 0.0625
+    r = np.float64(dx) * dx + np.float64(dy) * dy
+    assert r == 0.01 and r * r == EPSILON
+    v = [jnp.asarray(x) for x in (0.0, 0.0, dx, dy, 0.3, 0.4, -0.3, 0.4)]
+    rows, deg = k_symmetric(v, [])
+    assert not bool(deg)
+    assert np.isfinite(np.asarray(rows)).all()

@@ -93,3 +93,73 @@ def test_solve_lm_accepts_f64_guess_on_f32_system():
                    10, 1e-5, 1e-7, 1e-9)
     assert bool(res.converged)
     assert res.x.dtype == jnp.float32
+
+
+def test_damping_floor_rescue_adds_positive_shift():
+    """The f32 singular-rescue retry must ADD the floored damping
+    (jtj + max(lam, floor)*eye, damped_spd_solve): on a matrix that is
+    indefinite by f32 round-off (off-diagonal 1+1e-7 > diagonal 1), the
+    raw lam=1e-9 factorization fails and only the +floor retry is SPD.
+    A sign flip on the shift leaves the retry indefinite too, turning a
+    rescuable lane into a hard failure (mutation-found: the rescue branch
+    was only ever exercised where the raw solve already succeeded)."""
+    from ezpz_tpu.ops.linalg import spd_solve
+    from ezpz_tpu.solver import damped_spd_solve
+
+    a, o = np.float32(1.0), np.float32(1.0 + 1e-7)
+    jtj = jnp.asarray([[a, o], [o, a]], jnp.float32)
+    eye = jnp.eye(2, dtype=jnp.float32)
+    b = jnp.asarray([1.0, 2.0], jnp.float32)
+    # Precondition: this matrix genuinely needs the rescue.
+    _, raw_fail = spd_solve(jtj + jnp.float32(1e-9) * eye, b)
+    assert bool(raw_fail), "raw lam must fail or the rescue is untested"
+    d, fail = damped_spd_solve(jtj, jnp.float32(1e-9), eye, b)
+    assert not bool(fail)
+    assert np.isfinite(np.asarray(d)).all()
+    # The returned step solves the floored system.
+    floor = np.float32(1e-6) * float(jnp.max(jnp.abs(jnp.diagonal(jtj))))
+    lhs = np.asarray(jtj + np.float32(max(1e-9, floor)) * eye, np.float64)
+    np.testing.assert_allclose(lhs @ np.asarray(d, np.float64),
+                               np.asarray(b, np.float64), atol=1e-3)
+
+
+def test_gauss_newton_residual_check_is_inclusive():
+    """GN's top-of-iteration convergence test is ``max|r| <= rtol``
+    (inclusive, matching solve_lm and newton.rs). Engineered exact tie:
+    re-run with rtol set to the previously achieved residual — the run
+    must stop at the same iteration with the same x, not take an extra
+    step past the tie (mutation-found boundary)."""
+    p, q = DatumPoint(0, 1), DatumPoint(2, 3)
+    c = [
+        Constraint.Fixed(0, 0.0),
+        Constraint.Fixed(1, 0.0),
+        Constraint.Fixed(2, 3.0),
+        Constraint.Distance(p, q, 5.0),
+    ]
+    system = compile_system(c, n_vars=4)
+    x0 = jnp.asarray(np.array([0.1, -0.1, 3.2, 3.6]))
+    g1 = solve_gauss_newton(system, x0, 35, 1e-8, 1e-12, 1e-9)
+    tie = float(jnp.max(jnp.abs(g1.residual)))
+    assert tie > 0.0
+    g2 = solve_gauss_newton(system, x0, 35, tie, 1e-12, 1e-9)
+    assert bool(g2.converged)
+    assert int(g2.iterations) == int(g1.iterations)
+    assert bool(jnp.all(g2.x == g1.x))
+
+
+def test_mixed_phase_defaults_are_pinned():
+    """The documented mixed-path phase budgets and coarse target
+    (solver.py docstrings; TUNING.md measured operating point). These are
+    performance knobs whose mutations are outcome-invisible on converging
+    fixtures (the f64 refine phase rescues any coarse point), so the
+    contract is pinned structurally."""
+    import inspect
+
+    from ezpz_tpu.solver import solve_lm_mixed, solve_lm_refine
+
+    pm = inspect.signature(solve_lm_mixed).parameters
+    assert pm["coarse_tolerance"].default == 5e-6
+    assert pm["refine_iterations"].default == 6
+    assert pm["coarse_max_iterations"].default == 20
+    pr = inspect.signature(solve_lm_refine).parameters
+    assert pr["refine_iterations"].default == 6
