@@ -95,6 +95,10 @@ def main(argv=None) -> int:
     ap.add_argument("target")
     ap.add_argument("--sample", type=int, default=0,
                     help="run only every k-th mutant so ~SAMPLE total run")
+    ap.add_argument("--skip", type=int, default=0,
+                    help="resume: skip the first N selected mutants (the "
+                         "selection order is deterministic, so --skip 26 "
+                         "continues an interrupted run at mutant 27)")
     ap.add_argument("--timeout", type=float, default=600.0)
     args = ap.parse_args(argv)
 
@@ -103,7 +107,10 @@ def main(argv=None) -> int:
     mutants = list(enumerate_mutants(tree))
     step = max(1, len(mutants) // args.sample) if args.sample else 1
     selected = mutants[::step]
-    print(f"{args.target}: {len(mutants)} mutants, running {len(selected)}")
+    n_all = len(selected)
+    selected = selected[args.skip:]
+    print(f"{args.target}: {len(mutants)} mutants, running {len(selected)}"
+          + (f" (resumed at {args.skip + 1}/{n_all})" if args.skip else ""))
 
     killed, survived, errored = 0, [], 0
     try:
@@ -137,8 +144,8 @@ def main(argv=None) -> int:
                 killed += 1
                 errored += 1
                 verdict = "killed (error)"
-            print(f"  [{k + 1}/{len(selected)}] {desc}: {verdict} ({dt:.0f}s)",
-                  flush=True)
+            print(f"  [{k + 1 + args.skip}/{n_all}] {desc}: {verdict} "
+                  f"({dt:.0f}s)", flush=True)
     finally:
         open(args.target, "w").write(src)
 
