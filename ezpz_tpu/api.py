@@ -70,6 +70,26 @@ def _validate_and_densify(
     return x
 
 
+# Sketches that decompose into at least this many independent components
+# take the decomposed batched path (models.blocks.BlockProgram): one vmapped
+# LM per topology bucket instead of one monolithic dense LM — the TPU-first
+# shape of the sparsity the reference's sparse-LLT Newton step exploits
+# implicitly (newton.rs:15). Below the threshold the reference-exact global
+# loop runs (identical damping schedule and iteration counts).
+# EZPZ_TPU_DECOMPOSE_MIN overrides; 0 disables decomposition entirely.
+_DECOMPOSE_MIN_DEFAULT = 32
+
+
+def _decompose_min() -> int:
+    import os
+
+    raw = os.environ.get("EZPZ_TPU_DECOMPOSE_MIN", "")
+    try:
+        return int(raw) if raw else _DECOMPOSE_MIN_DEFAULT
+    except ValueError:
+        return _DECOMPOSE_MIN_DEFAULT
+
+
 def _get_system_and_solver(constraints, weights, n_vars: int, max_iterations: int):
     """Compiled system + jitted solver for this topology, LRU-cached.
 
@@ -77,21 +97,43 @@ def _get_system_and_solver(constraints, weights, n_vars: int, max_iterations: in
     values, so a hit safely reuses the cached CompiledSystem too —
     re-solves of an identical problem (the CLI's 100x protocol,
     priority-tier repeats) skip ``compile_system``'s array building
-    entirely, the dominant host cost once dispatches are pipelined."""
+    entirely, the dominant host cost once dispatches are pipelined.
+
+    Returns either ``(CompiledSystem, jitted solver)`` or
+    ``(BlockProgram, its solver)`` — both expose ``n_vars``,
+    ``jacobian_dense`` and the same packed solver contract, so callers
+    are path-agnostic."""
     import os
 
+    thresh = _decompose_min()
+    dbg = os.environ.get("EZPZ_TPU_DBG_JAC", "")
     key = (
         topology_key(constraints, n_vars),
         tuple(weights),
         max_iterations,
-        os.environ.get("EZPZ_TPU_DBG_JAC", ""),  # dbg-jac recompiles
+        dbg,  # dbg-jac recompiles
+        thresh,
     )
     hit = _SOLVER_CACHE.pop(key, None)
     if hit is not None:
         _SOLVER_CACHE[key] = hit  # re-insert: now most-recently-used
         return hit
-    system = compile_system(constraints, n_vars=n_vars, weights=weights)
-    solver = make_solver(system, max_iterations)
+
+    system = solver = None
+    # dbg-jac prints the GLOBAL dense Jacobian per iteration; keep it on
+    # the monolithic path where that object exists.
+    if thresh > 0 and dbg in ("", "0") and len(constraints) >= thresh:
+        from .models.blocks import BlockProgram, connected_components
+
+        if len(connected_components(constraints, n_vars)) >= thresh:
+            program = BlockProgram(
+                constraints, n_vars, list(weights), max_iterations
+            )
+            if program.complete and program.n_components >= thresh:
+                system, solver = program, program.solver
+    if system is None:
+        system = compile_system(constraints, n_vars=n_vars, weights=weights)
+        solver = make_solver(system, max_iterations)
     while len(_SOLVER_CACHE) >= _SOLVER_CACHE_LIMIT:
         _SOLVER_CACHE.pop(next(iter(_SOLVER_CACHE)))  # evict oldest only
     _SOLVER_CACHE[key] = (system, solver)
