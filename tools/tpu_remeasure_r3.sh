@@ -26,7 +26,13 @@ timeout 1800 python benches/coupled_bench.py --copies 256 --reps 3 \
 timeout 1800 python benches/coupled_bench.py --copies 256 --reps 3 \
   --n-parts 120 --boundary auto >> "$LOG" 2>&1
 
-# 2. bench.py sanity (headline fused-kernel number still reproduces).
+# 2. TPU latency rows: the decomposed single-solve path (BlockProgram)
+#    landed after LATENCY_r03's TPU rows were measured; massive[200|600]
+#    should drop from 69-139ms sync toward the ~34ms tunnel floor.
+timeout 3600 python benches/solver_bench.py --latency --iters 30 --json \
+  >> "$LOG" 2>&1
+
+# 3. bench.py sanity (headline fused-kernel number still reproduces).
 timeout 3600 python bench.py >> "$LOG" 2>&1
 
 echo "=== $(date) tpu_remeasure_r3 done" >> "$LOG"
