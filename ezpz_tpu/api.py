@@ -204,9 +204,16 @@ def _solve_inner(
 
     analysis: Optional[FreedomAnalysis] = None
     if want_analysis:
-        j = np.asarray(system.jacobian_dense(x_final))
         try:
-            analysis = freedom_analysis(j)
+            if hasattr(system, "freedom_analysis"):
+                # Decomposed path: per-bucket batched SVDs with the same
+                # global thresholds (exact — the Jacobian is block-diagonal
+                # up to a permutation), instead of one O(n^3) global SVD.
+                analysis = system.freedom_analysis(x_final)
+            else:
+                analysis = freedom_analysis(
+                    np.asarray(system.jacobian_dense(x_final))
+                )
         except Exception as error:
             raise FailureOutcome(
                 error=error, warnings=warnings, num_vars=num_vars, num_eqs=num_eqs

@@ -460,3 +460,54 @@ class BlockProgram:
                 out[row:row + m_local, b.var_index[k]] = jb[k]
                 row += m_local
         return out
+
+    def freedom_analysis(self, x):
+        """Freedom (DoF) analysis via per-bucket batched SVDs — exact, not
+        an approximation: the global Jacobian is block-diagonal up to a
+        permutation, so its singular values are the union of the blocks'
+        and the nullspace projector (whose diagonal IS the participation
+        vector, basis-independent) is block-diagonal. Both reference
+        thresholds stay GLOBAL like ``dof.freedom_analysis``: the rank cut
+        1e-8 * largest singular value ACROSS blocks (find_dof.rs:40-47 —
+        a per-block tolerance would misclassify blocks whose rows are
+        globally negligible, e.g. weight-1e-12 requests), and the
+        participation cut 1e-3 * max participation across all variables.
+        A guessed-but-unconstrained variable is a zero column: e_i lies in
+        the nullspace, participation exactly 1. Replaces an O(n^3) global
+        SVD with sum over buckets of O(B * n_k^3)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..dof import TOLERANCE_BASE, FreedomAnalysis
+        from ..utils.errors import EmptySystemNotAllowed
+
+        if self.n_rows == 0 or self.n_vars == 0:
+            raise EmptySystemNotAllowed()
+
+        x = np.asarray(x, dtype=np.float64)
+        svals, vts = [], []
+        for b in self.buckets:
+            pars = tuple(jnp.asarray(p) for p in b.pars)
+            jb = np.asarray(jax.vmap(b.system.jacobian_dense)(
+                jnp.asarray(x[b.var_index]), pars
+            ))  # (B, m_local, n_local)
+            _u, s, vt = np.linalg.svd(jb, full_matrices=True)
+            svals.append(s)
+            vts.append(vt)
+
+        largest = max((float(s.max()) for s in svals if s.size), default=0.0)
+        tol = TOLERANCE_BASE * largest
+        participation = np.ones(self.n_vars, dtype=np.float64)  # zero cols
+        for b, s, vt in zip(self.buckets, svals, vts):
+            rank = (s > tol).sum(axis=1)  # (B,)
+            n_local = vt.shape[2]
+            null_rows = np.arange(n_local)[None, :] >= rank[:, None]
+            part = np.einsum("bji,bji->bi", vt * null_rows[:, :, None], vt)
+            participation[b.var_index] = part
+
+        max_participation = float(participation.max()) if self.n_vars else 0.0
+        var_tol = 1e-3 * max_participation
+        squared = var_tol * var_tol
+        under = [int(i) for i in range(self.n_vars)
+                 if participation[i] > squared]
+        return FreedomAnalysis(under)

@@ -135,3 +135,37 @@ def test_block_path_keeps_unreferenced_guesses(monkeypatch):
             assert out.final_values[free_id] == 7.25
         finally:
             os.environ.pop("EZPZ_TPU_DECOMPOSE_MIN", None)
+
+
+def test_block_analysis_matches_monolithic_global_tolerances(monkeypatch):
+    """The decomposed freedom analysis must keep the reference's GLOBAL
+    thresholds: a block whose requests carry weight 1e-12 is globally
+    rank-deficient (its rows fall under 1e-8 * the global largest singular
+    value) even though per-block tolerances would call it full-rank; and a
+    guessed-but-unconstrained variable (zero column -> participation
+    exactly 1) is underconstrained. Both paths must agree exactly."""
+    ids = ez.IdGenerator()
+    reqs, guesses = [], []
+    for k in range(10):
+        p, q = ez.DatumPoint.new(ids), ez.DatumPoint.new(ids)
+        w = 1e-12 if k == 4 else 1.0
+        for c in [ez.Constraint.Fixed(p.id_x(), float(k)),
+                  ez.Constraint.Fixed(p.id_y(), 0.0),
+                  ez.Constraint.Fixed(q.id_x(), float(k) + 1.0),
+                  ez.Constraint.Fixed(q.id_y(), 1.0)]:
+            reqs.append(ez.ConstraintRequest(constraint=c, priority=0, weight=w))
+        guesses += [(p.id_x(), float(k)), (p.id_y(), 0.0),
+                    (q.id_x(), float(k) + 1.0), (q.id_y(), 1.0)]
+    free_id = len(guesses)
+    guesses.append((free_id, 3.5))
+
+    monkeypatch.setenv("EZPZ_TPU_DECOMPOSE_MIN", "0")
+    mono = ez.solve_analysis(reqs, guesses)
+    monkeypatch.setenv("EZPZ_TPU_DECOMPOSE_MIN", "4")
+    blk = ez.solve_analysis(reqs, guesses)
+
+    assert blk.analysis.underconstrained() == mono.analysis.underconstrained()
+    under = set(blk.analysis.underconstrained())
+    # The weight-1e-12 block's four variables (ids 16..19) and the free
+    # variable are the underconstrained set.
+    assert under == {16, 17, 18, 19, free_id}
