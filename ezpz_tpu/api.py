@@ -90,7 +90,8 @@ def _decompose_min() -> int:
         return _DECOMPOSE_MIN_DEFAULT
 
 
-def _get_system_and_solver(constraints, weights, n_vars: int, max_iterations: int):
+def _get_system_and_solver(constraints, weights, n_vars: int,
+                           max_iterations: int, precision: str = "f64"):
     """Compiled system + jitted solver for this topology, LRU-cached.
 
     ``topology_key`` covers kernel ids, variable indices, AND parameter
@@ -105,6 +106,9 @@ def _get_system_and_solver(constraints, weights, n_vars: int, max_iterations: in
     are path-agnostic."""
     import os
 
+    if precision not in ("f64", "mixed"):
+        raise ValueError(
+            f"precision must be 'f64' or 'mixed', got {precision!r}")
     thresh = _decompose_min()
     dbg = os.environ.get("EZPZ_TPU_DBG_JAC", "")
     key = (
@@ -113,6 +117,7 @@ def _get_system_and_solver(constraints, weights, n_vars: int, max_iterations: in
         max_iterations,
         dbg,  # dbg-jac recompiles
         thresh,
+        precision,
     )
     hit = _SOLVER_CACHE.pop(key, None)
     if hit is not None:
@@ -127,13 +132,14 @@ def _get_system_and_solver(constraints, weights, n_vars: int, max_iterations: in
 
         if len(connected_components(constraints, n_vars)) >= thresh:
             program = BlockProgram(
-                constraints, n_vars, list(weights), max_iterations
+                constraints, n_vars, list(weights), max_iterations,
+                precision=precision,
             )
             if program.complete and program.n_components >= thresh:
                 system, solver = program, program.solver
     if system is None:
         system = compile_system(constraints, n_vars=n_vars, weights=weights)
-        solver = make_solver(system, max_iterations)
+        solver = make_solver(system, max_iterations, precision=precision)
     while len(_SOLVER_CACHE) >= _SOLVER_CACHE_LIMIT:
         _SOLVER_CACHE.pop(next(iter(_SOLVER_CACHE)))  # evict oldest only
     _SOLVER_CACHE[key] = (system, solver)
@@ -167,7 +173,7 @@ def _dispatch_solve(
     constraints = [req.constraint for _cid, req in entries]
     weights = [req.weight for _cid, req in entries]
     system, solver = _get_system_and_solver(
-        constraints, weights, len(x0), config.max_iterations
+        constraints, weights, len(x0), config.max_iterations, config.precision
     )
 
     packed = solver(

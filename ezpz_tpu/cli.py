@@ -73,6 +73,11 @@ def main(argv=None) -> int:
                         help="Show the final values assigned to each point")
     parser.add_argument("--cpu", action="store_true",
                         help="Force the CPU backend (skip any TPU plugin)")
+    parser.add_argument("--precision", choices=["f64", "mixed"], default="f64",
+                        help="mixed = f32 LM + f64-residual refinement "
+                             "(~5x less TPU device time, same 1e-8 f64 "
+                             "verification; iteration counts not comparable "
+                             "to the reference)")
     parser.add_argument("--profile", metavar="DIR", default=None,
                         help="Capture a jax.profiler trace of the benchmark "
                              "loop into DIR (view with TensorBoard/Perfetto)")
@@ -105,8 +110,11 @@ def main(argv=None) -> int:
         print(f"Error: {e}", file=sys.stderr)
         return 1
 
+    from .config import Config
+
+    config = Config().with_precision(args.precision)
     try:
-        solved = constraint_system.solve()
+        solved = constraint_system.solve_with_config(config)
     except FailureOutcome as outcome:
         _print_warnings(outcome.warnings)
         _print_problem_size(outcome.num_vars, outcome.num_eqs)
@@ -128,7 +136,8 @@ def main(argv=None) -> int:
         import jax
 
         jax.profiler.start_trace(args.profile)
-    duration_per_iter = constraint_system.time_resolves(iters=NUM_ITERS_BENCHMARK)
+    duration_per_iter = constraint_system.time_resolves(
+        config, iters=NUM_ITERS_BENCHMARK)
     # On a remote/accelerator backend the synchronous protocol above is
     # floored by one device->host round trip per solve; also report what the
     # device sustains when re-solves are streamed (one final sync).
@@ -137,7 +146,7 @@ def main(argv=None) -> int:
     pipelined_per_iter = None
     if _jax.default_backend() != "cpu":
         pipelined_per_iter = constraint_system.time_resolves(
-            iters=NUM_ITERS_BENCHMARK, pipelined=True)
+            config, iters=NUM_ITERS_BENCHMARK, pipelined=True)
     if args.profile:
         jax.profiler.stop_trace()
         print(f"Profiler trace written to {args.profile}/")

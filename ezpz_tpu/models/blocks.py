@@ -362,11 +362,12 @@ class BlockProgram:
         n_vars: int,
         weights: Optional[Sequence[float]] = None,
         max_iterations: int = 50,
+        precision: str = "f64",
     ):
         import jax
         import jax.numpy as jnp
 
-        from ..solver import solve_lm
+        from ..solver import solve_lm, solve_lm_mixed
 
         self.n_vars = n_vars
         self.n_constraints = len(constraints)
@@ -391,6 +392,12 @@ class BlockProgram:
         cix = [jnp.asarray(b.cid_index) for b in self.buckets]
         pars = [tuple(jnp.asarray(p) for p in b.pars) for b in self.buckets]
         systems = [b.system for b in self.buckets]
+        mixed = precision == "mixed"
+        systems32 = [s.astype(jnp.float32) for s in systems] if mixed else None
+        pars32 = (
+            [tuple(p.astype(jnp.float32) for p in pk) for pk in pars]
+            if mixed else None
+        )
         n_cons = self.n_constraints
 
         from ..ops.linalg import (UNROLL_COL_MAX_N, UNROLL_MAX_N,
@@ -404,24 +411,34 @@ class BlockProgram:
             deg = jnp.zeros((n_cons,), dt)
             conv = jnp.asarray(True)
             iters = jnp.asarray(0, jnp.int32)
-            for system, gi, ci, pk in zip(systems, gix, cix, pars):
+            for k, (system, gi, ci, pk) in enumerate(
+                    zip(systems, gix, cix, pars)):
                 fast_sat = system.all_weights_positive()
                 spd = (
                     spd_solve_batched
                     if UNROLL_MAX_N < system.n_vars <= UNROLL_COL_MAX_N
                     else _spd_plain
                 )
+                s32 = systems32[k] if mixed else None
 
-                def one(xx, pp, system=system, fast_sat=fast_sat, spd=spd):
-                    res = solve_lm(system, xx, max_iterations, rtol, stol,
-                                   lam0, pars=pp, spd=spd)
+                def one(xx, pp, pp32, system=system, s32=s32,
+                        fast_sat=fast_sat, spd=spd):
+                    if mixed:
+                        res = solve_lm_mixed(
+                            system, s32, xx, max_iterations, rtol, stol,
+                            lam0, pars64=pp, pars32=pp32, spd=spd,
+                        )
+                    else:
+                        res = solve_lm(system, xx, max_iterations, rtol,
+                                       stol, lam0, pars=pp, spd=spd)
                     if fast_sat:
                         s = system.satisfaction_from_residual(res.residual)
                     else:
                         s = system.constraint_satisfaction(res.x, pp)
                     return res.x, s, res.deg, res.converged, res.iterations
 
-                xb, sb, db, cb, ib = jax.vmap(one)(x_out[gi], pk)
+                pk32 = pars32[k] if mixed else pk
+                xb, sb, db, cb, ib = jax.vmap(one)(x_out[gi], pk, pk32)
                 x_out = x_out.at[gi.reshape(-1)].set(xb.reshape(-1))
                 sat = sat.at[ci.reshape(-1)].set(sb.reshape(-1).astype(dt))
                 deg = deg.at[ci.reshape(-1)].set(db.reshape(-1).astype(dt))

@@ -522,11 +522,17 @@ def solve_lm_refine(
     )
 
 
-def make_solver(system: CompiledSystem, max_iterations: int):
+def make_solver(system: CompiledSystem, max_iterations: int,
+                precision: str = "f64"):
     """A jitted solver for one compiled topology. Tolerances and lambda stay
     dynamic so config tweaks don't recompile; max_iterations only bounds the
     loop and is static. ``EZPZ_TPU_DBG_JAC=1`` prints the dense Jacobian per
     iteration (the reference's ``dbg-jac`` feature).
+
+    ``precision="mixed"`` (Config extension, TPU deployments) swaps the
+    loop for ``solve_lm_mixed``: f32 iterations, f64-residual refinement,
+    the same 1e-8 f64 verification — iteration counts are then NOT
+    comparable to the reference's pins (use "f64" where they matter).
 
     Returns ONE packed 1-D array ``[x (n_vars) | sat (n_cons) | deg (n_cons)
     | converged | iterations]`` rather than a result pytree: the public API
@@ -540,13 +546,20 @@ def make_solver(system: CompiledSystem, max_iterations: int):
 
     debug_jac = os.environ.get("EZPZ_TPU_DBG_JAC", "") not in ("", "0")
     fast_sat = system.all_weights_positive()
+    system32 = system.astype(jnp.float32) if precision == "mixed" else None
 
     @partial(jax.jit, static_argnums=())
     def run(x0, residual_tolerance, step_tolerance, initial_lambda):
-        res = solve_lm(
-            system, x0, max_iterations, residual_tolerance, step_tolerance,
-            initial_lambda, debug_jac=debug_jac,
-        )
+        if precision == "mixed":
+            res = solve_lm_mixed(
+                system, system32, x0, max_iterations, residual_tolerance,
+                step_tolerance, initial_lambda,
+            )
+        else:
+            res = solve_lm(
+                system, x0, max_iterations, residual_tolerance, step_tolerance,
+                initial_lambda, debug_jac=debug_jac,
+            )
         if fast_sat:
             sat = system.satisfaction_from_residual(res.residual)
         else:

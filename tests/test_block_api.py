@@ -169,3 +169,29 @@ def test_block_analysis_matches_monolithic_global_tolerances(monkeypatch):
     # The weight-1e-12 block's four variables (ids 16..19) and the free
     # variable are the underconstrained set.
     assert under == {16, 17, 18, 19, free_id}
+
+
+def test_block_path_mixed_precision(monkeypatch):
+    """precision="mixed" through the decomposed path: per-bucket
+    solve_lm_mixed with cast parameters. Fully-constrained blocks (the
+    _fleet blocks leave q on a circle, where the two precisions
+    legitimately pick different points) so the solutions are unique and
+    must coincide."""
+    monkeypatch.setenv("EZPZ_TPU_DECOMPOSE_MIN", "8")
+    ids = ez.IdGenerator()
+    reqs, guesses = [], []
+    for k in range(12):
+        p, q = ez.DatumPoint.new(ids), ez.DatumPoint.new(ids)
+        for c in [ez.Constraint.Fixed(p.id_x(), float(k)),
+                  ez.Constraint.Fixed(p.id_y(), 0.0),
+                  ez.Constraint.Fixed(q.id_x(), float(k) + 3.0),
+                  ez.Constraint.Distance(p, q, 5.0)]:
+            reqs.append(ez.ConstraintRequest.highest_priority(c))
+        guesses += [(p.id_x(), k + 0.1), (p.id_y(), -0.05),
+                    (q.id_x(), k + 3.2), (q.id_y(), 3.7)]
+    f64 = ez.solve(reqs, guesses)
+    mixed = ez.solve(reqs, guesses, Config().with_precision("mixed"))
+    assert mixed.converged
+    assert mixed.unsatisfied == []
+    np.testing.assert_allclose(np.asarray(mixed.final_values),
+                               np.asarray(f64.final_values), atol=1e-6)

@@ -262,3 +262,31 @@ def test_mixed_inconsistent_terminates():
     res = _mixed_solve(constraints, x0)
     # Terminates; the compromise leaves some residual > 1e-8.
     assert np.isfinite(np.asarray(res.x)).all()
+
+
+def test_api_precision_mixed_config():
+    """Config(precision="mixed") routes the public solve through
+    solve_lm_mixed: same solution and satisfaction as the f64 path at the
+    corpus tolerance, converged at the 1e-8 f64 residual verification.
+    (Iteration counts are documented as not reference-comparable.)"""
+    import ezpz_tpu as ez
+
+    ids = ez.IdGenerator()
+    p, q = ez.DatumPoint.new(ids), ez.DatumPoint.new(ids)
+    reqs = [ez.ConstraintRequest.highest_priority(c) for c in [
+        ez.Constraint.Fixed(p.id_x(), 0.0),
+        ez.Constraint.Fixed(p.id_y(), 0.0),
+        ez.Constraint.Fixed(q.id_x(), 3.0),
+        ez.Constraint.Distance(p, q, 5.0),
+    ]]
+    guesses = [(0, 0.1), (1, -0.1), (2, 3.2), (3, 3.6)]
+    f64 = ez.solve(reqs, guesses)
+    mixed = ez.solve(reqs, guesses, ez.Config().with_precision("mixed"))
+    assert mixed.converged and f64.converged
+    assert mixed.unsatisfied == f64.unsatisfied == []
+    np.testing.assert_allclose(np.asarray(mixed.final_values),
+                               np.asarray(f64.final_values), atol=1e-6)
+
+    import pytest
+    with pytest.raises(ValueError):
+        ez.Config().with_precision("f32")
