@@ -94,3 +94,45 @@ def test_cg_krylov_efficiency():
     mv = lambda v: jnp.asarray(A) @ v
     x = _cg(mv, jnp.asarray(b), jnp.zeros(16), 1e-12, 18)
     np.testing.assert_allclose(np.asarray(x), xstar, atol=1e-8)
+
+
+def test_cg_budget_contract():
+    """The CG iteration budget is strict and the counter increments:
+    max_iters=0 returns the initial guess untouched, and a 2-iteration
+    budget on a 16x16 system must NOT reach the solution (a corrupted
+    counter, e.g. it-1, would loop to full convergence; an inclusive
+    bound would run one extra step). Mutation-found."""
+    from ezpz_tpu.solver import _cg
+
+    rng = np.random.default_rng(5)
+    M = rng.standard_normal((16, 16))
+    A = M @ M.T + 0.5 * np.eye(16)
+    b = rng.standard_normal(16)
+    xstar = np.linalg.solve(A, b)
+    mv = lambda v: jnp.asarray(A) @ v
+    z = _cg(mv, jnp.asarray(b), jnp.zeros(16), 1e-30, 0)
+    assert bool(jnp.all(z == 0.0))
+    two = _cg(mv, jnp.asarray(b), jnp.zeros(16), 1e-30, 2)
+    assert float(np.max(np.abs(np.asarray(two) - xstar))) > 1e-3
+
+
+def test_cg_damping_sign_matches_dense_at_high_lambda():
+    """The matrix-free operator is JtJ + lam*I. At initial_lambda = 100
+    the damping dominates, so solve_lm_cg must reproduce the dense path's
+    trajectory (same iterations, same solution); a flipped damping sign
+    makes the inner operator indefinite and the first heavily-damped step
+    point the wrong way. Mutation-found (at the default lam = 1e-9 the
+    sign is numerically invisible)."""
+    from ezpz_tpu.solver import solve_lm_cg
+
+    p, q = DatumPoint(0, 1), DatumPoint(2, 3)
+    cs = [Constraint.Fixed(0, 0.0), Constraint.Fixed(1, 0.0),
+          Constraint.Fixed(2, 3.0), Constraint.Distance(p, q, 5.0)]
+    system = compile_system(cs, n_vars=4)
+    x0 = jnp.asarray(np.array([0.1, -0.1, 3.2, 3.6]))
+    cg = solve_lm_cg(system, x0, 35, 1e-8, 1e-12, 100.0)
+    dense = solve_lm(system, x0, 35, 1e-8, 1e-12, 100.0)
+    assert bool(cg.converged) and bool(dense.converged)
+    np.testing.assert_allclose(np.asarray(cg.x), np.asarray(dense.x),
+                               atol=1e-9)
+    assert int(cg.iterations) == int(dense.iterations)

@@ -290,3 +290,26 @@ def test_api_precision_mixed_config():
     import pytest
     with pytest.raises(ValueError):
         ez.Config().with_precision("f32")
+
+
+def test_refine_iterations_accounting():
+    """solve_lm_refine reports coarse_iterations + its own refine count:
+    seeded with coarse_iterations=7 from a perturbed start that needs at
+    least one refine step, the total must exceed 7 (a sign slip would
+    report 7 - k; mutation-found)."""
+    import jax.numpy as jnp
+
+    from ezpz_tpu.solver import solve_lm_refine
+
+    p, q = DatumPoint(0, 1), DatumPoint(2, 3)
+    cs = [Constraint.Fixed(0, 0.0), Constraint.Fixed(1, 0.0),
+          Constraint.Fixed(2, 3.0), Constraint.Distance(p, q, 5.0)]
+    s64 = compile_system(cs, n_vars=4)
+    s32 = s64.astype(jnp.float32)
+    x_coarse = jnp.asarray(np.array([0.001, -0.001, 3.0, 3.99]))
+    res = solve_lm_refine(
+        s64, s32, x_coarse, jnp.asarray(7, jnp.int32),
+        jnp.zeros((4,), bool), 35, 1e-8, 1e-12, 1e-9,
+    )
+    assert bool(res.converged)
+    assert int(res.iterations) > 7

@@ -163,3 +163,57 @@ def test_mixed_phase_defaults_are_pinned():
     assert pm["coarse_max_iterations"].default == 20
     pr = inspect.signature(solve_lm_refine).parameters
     assert pr["refine_iterations"].default == 6
+
+
+def test_step_tolerance_boundary_is_inclusive():
+    """Step-size convergence is ``step_inf <= stol`` (inclusive) in both
+    LM and GN. Engineered exact tie: Fixed(0, 3) from x0=10 with zero
+    damping takes the step d = 7.0 exactly; at stol = 7.0 both loops must
+    stop AT that iteration (iterations == 0, converged) rather than take
+    another look (mutation-found boundary)."""
+    c = [Constraint.Fixed(0, 3.0)]
+    system = compile_system(c, n_vars=1)
+    x0 = jnp.asarray(np.array([10.0]))
+    lm = solve_lm(system, x0, 5, 1e-8, 7.0, 0.0)
+    assert bool(lm.converged) and int(lm.iterations) == 0
+    assert float(lm.x[0]) == 3.0
+    gn = solve_gauss_newton(system, x0, 5, 1e-8, 7.0, 0.0)
+    assert bool(gn.converged) and int(gn.iterations) == 0
+    assert float(gn.x[0]) == 3.0
+
+
+def test_gauss_newton_budget_is_strict():
+    """GN's loop condition is ``it < max_iterations`` (strict): with a
+    budget of 1, the result is exactly one damped step from x0 and
+    reports converged=False — an inclusive bound would sneak in a second
+    iteration whose top-of-loop residual check then reports converged
+    (mutation-found)."""
+    from ezpz_tpu.solver import damped_spd_solve
+
+    p, q = DatumPoint(0, 1), DatumPoint(2, 3)
+    c = [Constraint.Fixed(0, 0.0), Constraint.Fixed(1, 0.0),
+         Constraint.Fixed(2, 3.0), Constraint.Distance(p, q, 5.0)]
+    system = compile_system(c, n_vars=4)
+    x0 = jnp.asarray(np.array([0.1, -0.1, 3.2, 3.6]))
+    g1 = solve_gauss_newton(system, x0, 1, 1e-8, 1e-12, 1e-9)
+    assert not bool(g1.converged)
+    _r, jtj, jtr, _d = system.normal_equations(x0, None)
+    eye = jnp.eye(4, dtype=system.dtype)
+    d, _fail = damped_spd_solve(jtj, jnp.asarray(1e-9, system.dtype), eye, -jtr)
+    np.testing.assert_allclose(np.asarray(g1.x), np.asarray(x0 + d),
+                               rtol=0, atol=1e-14)
+
+
+def test_init_state_lambda_dtype_contract():
+    """_init_state honours lam_dtype (solve_lm_refine carries its lambda
+    in the f32 working dtype while the system is f64); None falls back to
+    the system dtype (mutation-found: `lam_dtype or dtype`)."""
+    from ezpz_tpu.solver import _init_state
+
+    c = [Constraint.Fixed(0, 3.0)]
+    system = compile_system(c, n_vars=1)
+    x0 = jnp.asarray(np.array([10.0]))
+    st32 = _init_state(system, x0, 1e-9, lam_dtype=jnp.float32)
+    assert st32.lam.dtype == jnp.float32
+    st = _init_state(system, x0, 1e-9)
+    assert st.lam.dtype == system.dtype
