@@ -75,7 +75,9 @@ coverage *ARGS="tests/ -q":
 # were run IN FULL in round 3 — raw kill rates before survivor-driven
 # tests: ops/ds.py 127/170 (75%), parallel/block_schur.py 54/64 (84%,
 # second run), models/compiled.py 8/22 (36%), textual/executor.py 41/47
-# (87%); after the new tests every NON-EQUIVALENT mutant is killed
+# (87%), solver.py 41/64 across two segments (60/60 non-equivalent after
+# the new tests), ops/kernels.py 22/32 sampled (31/31 non-equivalent
+# after); after the new tests every NON-EQUIVALENT mutant is killed
 # (hand-confirmed per survivor). Protocol, killer tests, and the
 # equivalent-survivor adjudication: docs/MUTATION.md. Full runs mutate
 # files in place: run them in a disposable copy of the repo, never the
