@@ -60,10 +60,12 @@ def _validate_and_densify(
         if not (0 <= vid < n):
             raise NotFound(vid)
     for cid, req in entries:
-        for row in req.constraint.nonzero_rows():
-            for vid in row:
-                if vid not in id_set:
-                    raise MissingGuess(constraint_id=cid, variable=vid)
+        # dependent_variable_ids is the deduplicated union of nonzero_rows
+        # (and memoized on the constraint) — same membership check, one
+        # visit per variable.
+        for vid in req.constraint.dependent_variable_ids():
+            if vid not in id_set:
+                raise MissingGuess(constraint_id=cid, variable=vid)
     x = np.zeros(n, dtype=np.float64)
     for vid, val in initial_guesses:
         x[vid] = val
@@ -160,14 +162,14 @@ def _dispatch_solve(
     dominated by one ~30ms device->host round trip, while dispatches are
     ~50us — pipelined re-solves measure the hardware, not the tunnel."""
     num_vars = len(initial_guesses)
-    num_eqs = sum(req.constraint.residual_dim() for _cid, req in entries)
     warnings: List[Warning] = lint([(cid, req.constraint) for cid, req in entries])
 
     try:
         x0 = _validate_and_densify(entries, initial_guesses)
     except Exception as error:  # typed errors from validation
         raise FailureOutcome(
-            error=error, warnings=warnings, num_vars=num_vars, num_eqs=num_eqs
+            error=error, warnings=warnings, num_vars=num_vars,
+            num_eqs=sum(req.constraint.residual_dim() for _cid, req in entries),
         ) from None
 
     constraints = [req.constraint for _cid, req in entries]
@@ -189,7 +191,6 @@ def _solve_inner(
     want_analysis: bool,
 ) -> Tuple[Optional[FreedomAnalysis], SolveOutcome]:
     num_vars = len(initial_guesses)
-    num_eqs = sum(req.constraint.residual_dim() for _cid, req in entries)
     packed, system, warnings = _dispatch_solve(entries, initial_guesses, config)
     # ONE device->host transfer for the whole outcome (x, satisfaction,
     # degenerate flags, converged, iterations): the packed layout keeps
@@ -222,7 +223,10 @@ def _solve_inner(
                 )
         except Exception as error:
             raise FailureOutcome(
-                error=error, warnings=warnings, num_vars=num_vars, num_eqs=num_eqs
+                error=error, warnings=warnings, num_vars=num_vars,
+                num_eqs=sum(
+                    req.constraint.residual_dim() for _cid, req in entries
+                ),
             ) from None
 
     priority_solved = max((req.priority for _cid, req in entries), default=0)
@@ -247,14 +251,18 @@ def _resolve_entries(
     dense = [0.0] * (max_id + 1)
     for vid, val in initial_guesses:
         dense[vid] = val
-    resolved = [
-        ConstraintRequest(
-            constraint=r.constraint.set_from_initial_values(dense),
-            priority=r.priority,
-            weight=r.weight,
-        )
-        for r in reqs
-    ]
+    # set_from_initial_values returns self unless a tangency side actually
+    # resolves; keeping the original request object in that (overwhelmingly
+    # common) case preserves the per-constraint lower() memo across
+    # re-solves — a profiled host-path win on many-constraint sketches.
+    resolved = []
+    for r in reqs:
+        c = r.constraint.set_from_initial_values(dense)
+        if c is r.constraint:
+            resolved.append(r)
+        else:
+            resolved.append(ConstraintRequest(
+                constraint=c, priority=r.priority, weight=r.weight))
     return list(enumerate(resolved))
 
 

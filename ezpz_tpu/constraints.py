@@ -302,11 +302,23 @@ class Constraint:
             return replace(self, payload={**self.payload, "side": side})
         return self
 
-    def lower(self) -> List[KernelInstance]:
+    def lower(self) -> Tuple[KernelInstance, ...]:
         """Lower to kernel instances. Multi-row constraints that the reference
         implements by delegation lower to several instances (ArcRadius ->
         2x distance, ``constraints.rs:659-682``; ArcAngle -> lines_at_angle,
-        ``constraints.rs:897-915``)."""
+        ``constraints.rs:897-915``).
+
+        Memoized per instance (constraints are immutable): the hot re-solve
+        host path calls this for every constraint on every solve
+        (``topology_key``), which profiled as the single largest host cost
+        on many-constraint sketches."""
+        cached = self.__dict__.get("_lowered")
+        if cached is None:
+            cached = tuple(self._lower_impl())
+            object.__setattr__(self, "_lowered", cached)
+        return cached
+
+    def _lower_impl(self) -> List[KernelInstance]:
         p = self.payload
         k = self.kind
         if k == self.LINE_TANGENT_TO_CIRCLE:
@@ -500,12 +512,17 @@ class Constraint:
 
     def dependent_variable_ids(self) -> List[Id]:
         """All variable ids the residual depends on (deduplicated, first-seen
-        order), mirroring ``extend_dependent_variable_ids``."""
-        seen: dict = {}
-        for row in self.nonzero_rows():
-            for vid in row:
-                seen[vid] = None
-        return list(seen.keys())
+        order), mirroring ``extend_dependent_variable_ids``. Memoized per
+        instance (immutable); returns a fresh list each call."""
+        cached = self.__dict__.get("_dep_ids")
+        if cached is None:
+            seen: dict = {}
+            for row in self.nonzero_rows():
+                for vid in row:
+                    seen[vid] = None
+            cached = tuple(seen.keys())
+            object.__setattr__(self, "_dep_ids", cached)
+        return list(cached)
 
 
 @dataclass(frozen=True)

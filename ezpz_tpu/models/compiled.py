@@ -343,9 +343,18 @@ def compile_system(
 
 
 def topology_key(constraints: Sequence[Constraint], n_vars: int) -> tuple:
-    """A hashable key identifying the compiled topology (for jit caching)."""
+    """A hashable key identifying the compiled topology (for jit caching).
+
+    The per-constraint fragment is memoized on the (immutable) constraint:
+    this runs on EVERY public solve for the cache lookup, and profiled as
+    the dominant host cost on many-constraint sketches."""
     items = []
     for c in constraints:
-        for inst in c.lower():
-            items.append((inst.kernel, inst.var_ids, inst.params))
+        frag = c.__dict__.get("_topo_frag")
+        if frag is None:
+            frag = tuple(
+                (inst.kernel, inst.var_ids, inst.params) for inst in c.lower()
+            )
+            object.__setattr__(c, "_topo_frag", frag)
+        items.append(frag)
     return (n_vars, tuple(items))
