@@ -388,14 +388,18 @@ class BlockProgram:
         )
         self.n_rows = int(self._row_dims.sum())
 
-        gix = [jnp.asarray(b.var_index) for b in self.buckets]
-        cix = [jnp.asarray(b.cid_index) for b in self.buckets]
-        pars = [tuple(jnp.asarray(p) for p in b.pars) for b in self.buckets]
+        # Keep every traced constant as NUMPY (the compiled-system
+        # convention): jnp closures lower as device constants, which a
+        # remote-tunnel backend fetches one round trip at a time during
+        # MLIR lowering.
+        gix = [b.var_index for b in self.buckets]
+        cix = [b.cid_index for b in self.buckets]
+        pars = [tuple(np.asarray(p) for p in b.pars) for b in self.buckets]
         systems = [b.system for b in self.buckets]
         mixed = precision == "mixed"
         systems32 = [s.astype(jnp.float32) for s in systems] if mixed else None
         pars32 = (
-            [tuple(p.astype(jnp.float32) for p in pk) for pk in pars]
+            [tuple(p.astype(np.float32) for p in pk) for pk in pars]
             if mixed else None
         )
         n_cons = self.n_constraints
