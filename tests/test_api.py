@@ -478,3 +478,41 @@ s roughly (5, 6)
         w.about_constraint == 7 and w.content is WarningKind.SHOULD_BE_PARALLEL
         for w in solved.warnings
     )
+
+
+def test_time_resolves_timing_invariants():
+    """time_resolves returns a PER-SOLVE MEAN in seconds: positive and no
+    larger than the wall time of the whole call, for both the synchronous
+    and the pipelined protocol, on a cascade with two priority tiers (the
+    pipelined replay must execute the same inclusive tier subsets — an
+    exclusive comparison dispatches an empty tier and blows up).
+    Mutation-found: the division/subtraction in both returns, the
+    replay's tier-subset comparison, and the documented 100x default."""
+    import inspect
+    import time as _time
+
+    import ezpz_tpu as ez
+    from ezpz_tpu.api import time_resolves
+
+    ids = ez.IdGenerator()
+    p = ez.DatumPoint.new(ids)
+    reqs = [
+        ez.ConstraintRequest(constraint=ez.Constraint.Fixed(p.id_x(), 1.0),
+                             priority=0, weight=1.0),
+        ez.ConstraintRequest(constraint=ez.Constraint.Fixed(p.id_y(), 2.0),
+                             priority=1, weight=1.0),
+    ]
+    guesses = [(p.id_x(), 0.5), (p.id_y(), 1.5)]
+    ez.solve(reqs, guesses)  # warm the caches outside the timed region
+
+    t0 = _time.perf_counter()
+    mean_sync = time_resolves(reqs, guesses, iters=3)
+    wall_sync = _time.perf_counter() - t0
+    assert 0.0 < mean_sync <= wall_sync
+
+    t0 = _time.perf_counter()
+    mean_pipe = time_resolves(reqs, guesses, iters=3, pipelined=True)
+    wall_pipe = _time.perf_counter() - t0
+    assert 0.0 < mean_pipe <= wall_pipe
+
+    assert inspect.signature(time_resolves).parameters["iters"].default == 100

@@ -104,3 +104,65 @@ def test_batch_dof_mixed_precision_path():
 def test_empty_jacobian_raises():
     with pytest.raises(EmptySystemNotAllowed):
         freedom_analysis_batch(np.zeros((2, 0, 4)))
+
+
+def test_dof_rank_tolerance_decade_and_relative():
+    """The rank cut is 1e-8 * the LARGEST singular value (find_dof.rs:12,
+    40-47): a 3e-8 singular value survives at scale 1 (decade pin), a 3e-9
+    one does not, and at scale 100 an absolute 1e-8 direction is
+    rank-deficient (relative, not absolute — mutation-found)."""
+    from ezpz_tpu.dof import freedom_analysis
+
+    assert freedom_analysis(np.diag([1.0, 3e-8])).underconstrained() == []
+    assert freedom_analysis(np.diag([1.0, 3e-9])).underconstrained() == [1]
+    assert freedom_analysis(np.diag([100.0, 1e-8])).underconstrained() == [1]
+    # Same relative-tolerance semantics through the batched device path.
+    from ezpz_tpu.dof import freedom_analysis_batch
+
+    assert [a.underconstrained() for a in
+            freedom_analysis_batch(np.diag([100.0, 1e-8])[None])] == [[1]]
+
+
+def test_dof_participation_window_both_paths():
+    """The participation cut is 1e-3 * the max participation
+    (find_dof.rs:81-104): a variable entering the nullspace with relative
+    magnitude 3e-3 is underconstrained, at 3e-4 it is not — through BOTH
+    the host path and the batched device path (mutation-found decade)."""
+    from ezpz_tpu.dof import freedom_analysis, freedom_analysis_batch
+
+    row_in = np.asarray([[1.0, 3e-3, 0.0]])
+    row_out = np.asarray([[1.0, 3e-4, 0.0]])
+    assert freedom_analysis(row_in).underconstrained() == [0, 1, 2]
+    assert freedom_analysis(row_out).underconstrained() == [1, 2]
+    assert [a.underconstrained() for a in
+            freedom_analysis_batch(row_in[None])] == [[0, 1, 2]]
+    assert [a.underconstrained() for a in
+            freedom_analysis_batch(row_out[None])] == [[1, 2]]
+
+
+def test_dof_participation_tolerance_is_relative():
+    """The participation cut scales with the max participation, which is
+    1/3 (not 1) for a nullspace direction spread over a 3-variable chain:
+    a fourth variable coupled at relative 1.7e-3 must still be listed
+    (an inverted scaling, 1e-3 / max, would cut it — mutation-found)."""
+    from ezpz_tpu.dof import freedom_analysis
+
+    eps = 1.7e-3
+    j = np.asarray([
+        [1.0, -1.0, 0.0, 0.0],
+        [0.0, 1.0, -1.0, 0.0],
+        [eps, 0.0, 0.0, 1.0],
+    ])
+    assert freedom_analysis(j).underconstrained() == [0, 1, 2, 3]
+
+
+def test_dof_zero_jacobian_fully_free_both_paths():
+    """An all-zero Jacobian (every constraint disabled, e.g. weight 0)
+    leaves every variable underconstrained. Pins the strict/inclusive
+    orientation of the rank comparisons at sigma == tol == 0 exactly
+    (mutation-found: host `s > tol` and device `s_pad <= tol`)."""
+    from ezpz_tpu.dof import freedom_analysis, freedom_analysis_batch
+
+    assert freedom_analysis(np.zeros((2, 3))).underconstrained() == [0, 1, 2]
+    assert [a.underconstrained() for a in
+            freedom_analysis_batch(np.zeros((1, 2, 3)))] == [[0, 1, 2]]

@@ -195,3 +195,37 @@ def test_block_path_mixed_precision(monkeypatch):
     assert mixed.unsatisfied == []
     np.testing.assert_allclose(np.asarray(mixed.final_values),
                                np.asarray(f64.final_values), atol=1e-6)
+
+
+def test_decompose_threshold_default_and_equality(monkeypatch):
+    """Without any env override, the documented default threshold (32)
+    applies, and the comparisons are INCLUSIVE: a sketch with exactly 32
+    single-constraint components decomposes (mutation-found: the default
+    constant and all three >= comparisons along the gate)."""
+    import ezpz_tpu.api as api
+
+    monkeypatch.delenv("EZPZ_TPU_DECOMPOSE_MIN", raising=False)
+    assert api._DECOMPOSE_MIN_DEFAULT == 32
+    constraints = [ez.Constraint.Fixed(i, float(i)) for i in range(32)]
+    weights = [1.0] * 32
+    system, _ = _get_system_and_solver(constraints, weights, 32, 50)
+    assert isinstance(system, BlockProgram)
+    assert system.n_components == 32
+    # 31 components stays monolithic under the default.
+    system31, _ = _get_system_and_solver(constraints[:31], weights[:31], 31, 50)
+    assert isinstance(system31, CompiledSystem)
+
+
+def test_solver_cache_respects_limit(monkeypatch):
+    """The LRU eviction keeps the cache AT the limit, not one past it
+    (mutation-found off-by-one in the eviction comparison)."""
+    import ezpz_tpu.api as api
+
+    assert api._SOLVER_CACHE_LIMIT == 256  # the documented working-set size
+    monkeypatch.setattr(api, "_SOLVER_CACHE_LIMIT", 3)
+    api._SOLVER_CACHE.clear()
+    for k in range(4):
+        c = [ez.Constraint.Fixed(0, float(k + 1))]
+        api._get_system_and_solver(c, [1.0], 1, 50)
+    assert len(api._SOLVER_CACHE) <= 3
+    api._SOLVER_CACHE.clear()
