@@ -442,7 +442,11 @@ class BlockProgram:
                     return res.x, s, res.deg, res.converged, res.iterations
 
                 pk32 = pars32[k] if mixed else pk
-                xb, sb, db, cb, ib = jax.vmap(one)(x_out[gi], pk, pk32)
+                # Gather from x0, not x_out: buckets own disjoint variables,
+                # and gathering from the running scatter would chain every
+                # bucket's solve behind the previous one's update in the
+                # jaxpr for no reason (XLA can overlap independent buckets).
+                xb, sb, db, cb, ib = jax.vmap(one)(x0[gi], pk, pk32)
                 x_out = x_out.at[gi.reshape(-1)].set(xb.reshape(-1))
                 sat = sat.at[ci.reshape(-1)].set(sb.reshape(-1).astype(dt))
                 deg = deg.at[ci.reshape(-1)].set(db.reshape(-1).astype(dt))
