@@ -224,3 +224,50 @@ def test_pallas_coarse_fleet_interpret_matches_vmap():
     assert bool(convs.all())
     assert int(its.max()) <= 20
     np.testing.assert_allclose(x_out, np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_eligibility_gates_are_disjunctive():
+    """The Pallas fast paths must decline when ANY disqualifier holds —
+    an untileable batch OR an oversized topology (mutation-found: an
+    `and` would let one bad condition through on configs where the other
+    is fine). Also pins the measured unroll ceiling."""
+    from ezpz_tpu.batch import UNROLL_MAX_INSTANCES, BatchSolver
+
+    assert UNROLL_MAX_INSTANCES == 24  # measured trace-size ceiling
+
+    # 25 single-var instances: tile is fine at B=16384, instances are not.
+    big = compile_system([Constraint.Fixed(i, 1.0) for i in range(25)],
+                         n_vars=25)
+    s_big = BatchSolver(big, Config(), batch_params=True, precision="mixed",
+                        pallas_coarse=True, pallas_fused=True)
+    assert s_big._pallas_coarse_fn(16384) is None
+    assert s_big._pallas_fused_fn(16384) is None
+
+    # 1 instance: topology is fine, B=100 cannot tile (unit is 1024).
+    small = compile_system([Constraint.Fixed(0, 1.0)], n_vars=1)
+    s_small = BatchSolver(small, Config(), batch_params=True,
+                          precision="mixed", pallas_coarse=True,
+                          pallas_fused=True)
+    assert s_small._pallas_coarse_fn(100) is None
+    assert s_small._pallas_fused_fn(100) is None
+
+
+def test_pick_tile_respects_vmem_budget():
+    """The fused kernel's tile is capped so its ~(n^2+4n+4m+2c+64) live
+    (SUB, tile/SUB) f32 blocks fit the ~14MB VMEM budget; a 26-var
+    topology must get a smaller tile than the 16384 default, and every
+    returned tile must divide the batch (mutation-found: breaking the
+    denominator disables the cap — invisible on CPU interpret runs, a
+    compile-time OOM on a real chip)."""
+    from ezpz_tpu.batch import BatchSolver
+
+    cs = [Constraint.Fixed(i, float(i)) for i in range(26)]
+    system = compile_system(cs, n_vars=26)
+    solver = BatchSolver(system, Config(), precision="mixed")
+    B = 16384
+    tile = solver._pick_tile(B)
+    assert tile is not None and B % tile == 0
+    n, m = system.n_vars, system.n_rows
+    blocks = n * n + 4 * n + 4 * m + 2 * system.n_constraints + 64
+    assert tile * 4 * blocks <= 14e6
+    assert tile < 16384
