@@ -518,3 +518,21 @@ def test_ccw_angle_less_boundary_angle_contract():
     assert f(1, 1, -3, -3, 0, 1) is False
     # equal angles: p = 2e exactly -> "less" must be False (strict).
     assert f(1, 0, 0, 2, 0, 1) is False
+
+
+def test_fused_pads_up_not_down_past_one_unit():
+    """B = 1500 (above one tile unit, not a multiple): the pad must round
+    UP to 2048 — a corrupted rounding that lands at one unit (1024 < B)
+    would drop sketches (mutation-found in the padding arithmetic)."""
+    system = _mixed_system()
+    B = 1500
+    rng = np.random.default_rng(13)
+    base = np.array([0.3, 0.1, 0.2, 3.3, 0.25, 3.2, 1.1])
+    x0 = jnp.asarray(np.tile(base, (B, 1)) + rng.normal(0, 0.02, (B, 7)))
+    pars = _pars_for(system, B)
+    solver = BatchSolver(system, Config(), batch_params=True,
+                         precision="mixed", pallas_fused=True)
+    out = solver.solve(x0, pars)
+    assert 2048 in solver._fused_runs
+    assert int(np.asarray(out.x).shape[0]) == B
+    assert bool(np.asarray(out.converged).all())
