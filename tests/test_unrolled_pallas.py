@@ -272,7 +272,9 @@ def test_pick_tile_respects_vmem_budget():
     assert tile * 4 * blocks <= 14e6
     assert tile < 16384
     # Exact value for this topology: blocks = 676+104+104+52+64 = 1000,
-    # 14e6 // 4000 = 3500 lanes -> floor to the 1024 unit = 3072. Pins the
-    # byte-per-block factor and the budget constant in BOTH directions
-    # (a smaller cap silently costs grid steps, a larger one VMEM-OOMs).
-    assert tile == 3072
+    # 14e6 // 4000 = 3500 lanes -> floor to the 1024 unit = 3072, then
+    # step down to the largest unit multiple dividing B=16384 -> 2048.
+    # Pins the byte-per-block factor and the budget constant in BOTH
+    # directions (a smaller cap silently costs grid steps, a larger one
+    # VMEM-OOMs).
+    assert tile == 2048
