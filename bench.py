@@ -162,14 +162,16 @@ def main():
         sys.path.insert(0, os.path.join(here, "benches"))
         from coupled_bench import run as coupled_run
 
-        # Tuned operating point from the COUPLED_r03.json sweep: Jacobi-PCG
-        # boundary at n_parts=120 (1,794 solves/sec vs 877 for the r02
-        # default dense/n_parts=60 config).
+        # Tuned operating point from the COUPLED_r03.json sweep: the exact
+        # banded-direct boundary at n_parts=120 (3,360 solves/sec on the
+        # v5e vs 2,037-2,182 for Jacobi-PCG and 877 for the r02 default
+        # dense/n_parts=60 config). The chain's boundary Schur complement
+        # is block-tridiagonal (bw=11), so the banded solve is exact.
         detail["coupled"] = coupled_run(
             lines=600, copies=int(os.environ.get("BENCH_COUPLED_COPIES", "256")),
             precision="mixed", reps=3,
             n_parts=int(os.environ.get("BENCH_COUPLED_PARTS", "120")),
-            boundary_solver=os.environ.get("BENCH_COUPLED_BOUNDARY", "cg"))
+            boundary_solver=os.environ.get("BENCH_COUPLED_BOUNDARY", "banded"))
 
     print(json.dumps({
         "metric": "massive_parallel_system_solves_per_sec",
