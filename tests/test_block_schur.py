@@ -250,6 +250,30 @@ def test_banded_ops_against_dense():
                                    np.linalg.solve(A, B[k]), atol=1e-10)
 
 
+def test_banded_exactly_singular_pivot_flags_failure():
+    """An EXACTLY-zero Cholesky pivot must set the fail flag (strict
+    ``diag2 > 0`` in ``banded_cholesky``, ops/banded.py:63 — the boundary
+    the non-SPD test above never hits because its pivot goes negative,
+    not zero). A = [[1,1],[1,1]] factors to diag2 = 1 - 1^2 = 0.0 exactly
+    in f64; an inclusive comparison would accept the zero pivot, divide
+    by it in the substitution sweeps, and hand the LM loop inf/NaN with
+    fail=False — defeating the failure->re-damp semantics
+    (newton.rs:96-99). Kills the line-63 Gt->GtE mutant."""
+    from ezpz_tpu.ops.banded import banded_spd_solve, dense_to_band
+
+    A = np.ones((2, 2))
+    x, fail = banded_spd_solve(dense_to_band(jnp.asarray(A), 1),
+                               jnp.asarray([1.0, 2.0]))
+    assert bool(fail) and np.allclose(np.asarray(x), 0.0)
+    # Same boundary mid-matrix: a 4x4 whose third pivot cancels exactly.
+    A4 = np.eye(4)
+    A4[1, 2] = A4[2, 1] = 1.0  # rank-deficient 2x2 block [[1,1],[1,1]]
+    A4[2, 2] = 1.0
+    x4, fail4 = banded_spd_solve(dense_to_band(jnp.asarray(A4), 1),
+                                 jnp.asarray(np.ones(4)))
+    assert bool(fail4) and np.allclose(np.asarray(x4), 0.0)
+
+
 def test_mixed_precision_uses_f32_jacobian_system():
     """The mixed-precision contract: precision='mixed' must lower the
     Jacobian-side system to float32 (the whole point of the mode on TPU);
