@@ -251,14 +251,15 @@ def test_banded_ops_against_dense():
 
 
 def test_banded_exactly_singular_pivot_flags_failure():
-    """An EXACTLY-zero Cholesky pivot must set the fail flag (strict
-    ``diag2 > 0`` in ``banded_cholesky``, ops/banded.py:63 — the boundary
-    the non-SPD test above never hits because its pivot goes negative,
-    not zero). A = [[1,1],[1,1]] factors to diag2 = 1 - 1^2 = 0.0 exactly
+    """An EXACTLY-zero Cholesky pivot must set the fail flag (the strict
+    ``diag2 > 0`` pivot check in ``banded_cholesky`` — the boundary the
+    non-SPD test above never hits because its pivot goes negative, not
+    zero). A = [[1,1],[1,1]] factors to diag2 = 1 - 1^2 = 0.0 exactly
     in f64; an inclusive comparison would accept the zero pivot, divide
     by it in the substitution sweeps, and hand the LM loop inf/NaN with
-    fail=False — defeating the failure->re-damp semantics
-    (newton.rs:96-99). Kills the line-63 Gt->GtE mutant."""
+    fail=False — defeating the failure->re-damp semantics (the
+    reference's numeric-LLT-failure->raise-lambda branch in its LM
+    loop). Kills the Gt->GtE mutant on that pivot check."""
     from ezpz_tpu.ops.banded import banded_spd_solve, dense_to_band
 
     A = np.ones((2, 2))
