@@ -8,8 +8,9 @@ sizes, through whichever path ``BatchSolver`` picks:
 * ``rect_chain[2]`` — 14 constraint instances, 14 vars: small enough for
   the fully-fused Pallas kernel (all kernels DS-capable). Measured both
   fused and with ``BENCH_FUSED=0`` (XLA mixed) for the gap.
-* ``rect_chain[4]`` — 26 instances, 26 vars: above the 24-instance unroll
-  ceiling -> the padded-gather XLA mixed path.
+* ``rect_chain[4]`` — 26 instances, 26 vars: above the 24-instance dense
+  unroll ceiling. Round 4: the fused kernel's sparsity-aware (symbolic
+  fill) Cholesky makes it Pallas-eligible — measured fused AND XLA mixed.
 * ``rect_chain[8]`` — 50 instances, 50 vars: ditto, larger.
 
 Protocol matches bench.py: per-rep fresh inputs (remote backends memoize
@@ -146,7 +147,9 @@ def main(argv=None) -> int:
     runs = [
         ("rect_chain[2]+fused", lambda: bench_fleet(2, args.copies, args.reps, True)),
         ("rect_chain[2]+xla", lambda: bench_fleet(2, args.copies, args.reps, False)),
+        ("rect_chain[4]+fused", lambda: bench_fleet(4, args.copies, args.reps, True)),
         ("rect_chain[4]+xla", lambda: bench_fleet(4, args.copies, args.reps, False)),
+        ("rect_chain[8]+fused", lambda: bench_fleet(8, args.copies, args.reps, True)),
         ("rect_chain[8]+xla", lambda: bench_fleet(8, args.copies, args.reps, False)),
     ]
     for name, fn in runs:

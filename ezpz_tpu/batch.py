@@ -33,6 +33,14 @@ from .solver import solve_lm, solve_lm_mixed
 # gather path (unrolling grows the traced program linearly).
 UNROLL_MAX_INSTANCES = 24
 
+# The Pallas fleet kernels go further: their in-kernel Cholesky is
+# sparsity-aware (ops/pallas_fleet._symbolic_fill emits ops only for the
+# factor's structural nonzeros), so mid-size topologies — past the dense
+# unroll ceiling above — still trace and compile in bounded size. The
+# ceiling is trace/compile time, not VMEM (the tile shrinks with the
+# symbolic nonzero count, see _pick_tile).
+PALLAS_MAX_INSTANCES = 64
+
 
 def _maybe_unroll(system: CompiledSystem):
     from .ops.unrolled import UnrolledSystem
@@ -212,17 +220,21 @@ class BatchSolver:
     # -- pallas coarse phase --------------------------------------------------
 
     def _pick_tile(self, B: int):
-        from .ops.pallas_fleet import DEFAULT_TILE, SUB
+        from .ops.pallas_fleet import DEFAULT_TILE, SUB, jtj_fill_count
 
         unit = 128 * SUB
-        # VMEM-aware cap: the fused kernel materializes ~(n^2 + 4n + 4m +
-        # 2*n_cons) live (SUB, tile/SUB) f32 blocks (JtJ dominates), each
-        # tile*4 bytes. DEFAULT_TILE=16384 fits the 4-var headline topology
-        # comfortably but oversubscribes ~16MB VMEM somewhere around n=12;
+        # VMEM-aware cap: the fused kernel materializes ~(2*nnzL + 6n + 6m +
+        # 4*n_cons) live (SUB, tile/SUB) f32 blocks, each tile*4 bytes —
+        # the normal matrix counts by its SYMBOLIC Cholesky nonzeros (the
+        # kernel never materializes structurally-zero blocks), the
+        # double-single refine phase carries hi+lo pairs of x and r (hence
+        # 6n/6m, conservatively shared with the coarse-only kernel).
+        # DEFAULT_TILE=16384 fits the 4-var headline topology comfortably;
         # larger topologies take a proportionally smaller tile instead of
         # failing to compile. (+64 blocks of slack for temporaries.)
         n, m = self.system.n_vars, self.system.n_rows
-        blocks = n * n + 4 * n + 4 * m + 2 * self.system.n_constraints + 64
+        nnz = jtj_fill_count(self.system)
+        blocks = 2 * nnz + 6 * n + 6 * m + 4 * self.system.n_constraints + 64
         vmem_lanes = int(14e6) // (4 * blocks)
         cap = min(DEFAULT_TILE, (vmem_lanes // unit) * unit)
         cand = min(cap, (B // unit) * unit)
@@ -239,7 +251,7 @@ class BatchSolver:
         ``shard_map`` (with B = per-device batch) to scale it out."""
         n_instances = sum(int(b.idx.shape[0]) for b in self.system.blocks)
         tile = self._pick_tile(B)
-        if tile is None or not (0 < n_instances <= UNROLL_MAX_INSTANCES):
+        if tile is None or not (0 < n_instances <= PALLAS_MAX_INSTANCES):
             return None
 
         from .ops.pallas_fleet import (
@@ -297,7 +309,7 @@ class BatchSolver:
 
         n_instances = sum(int(b.idx.shape[0]) for b in self.system.blocks)
         tile = self._pick_tile(B)
-        if (tile is None or not (0 < n_instances <= UNROLL_MAX_INSTANCES)
+        if (tile is None or not (0 < n_instances <= PALLAS_MAX_INSTANCES)
                 or _ds_instance_list(self._system32) is None):
             return None
 

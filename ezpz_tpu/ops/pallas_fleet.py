@@ -72,6 +72,64 @@ def _instance_list(system32: CompiledSystem):
     return out
 
 
+# -- static JtJ sparsity + symbolic Cholesky fill ------------------------------
+#
+# The in-kernel normal matrix is assembled as an n x n Python list of
+# (SUB, C) blocks and factored by fully-unrolled Crout — at mid-size n the
+# dense unroll is O(n^3) traced ops, almost all of them on blocks that are
+# STRUCTURALLY zero (a chained sketch's JtJ is banded). The reference gets
+# the same win from faer's symbolic sparse LLT (solver.rs:270,289-300); the
+# TPU-native analog is computed at trace time: the JtJ nonzero pattern
+# follows from the static instance variable ids, its Cholesky fill-in from
+# the classic symbolic factorization, and the kernel only EMITS ops for
+# entries inside the fill pattern. Entries outside it are exact zeros in
+# the dense computation (every skipped term is a `s - 0.0` no-op), so the
+# sparse kernel is bit-identical to the dense one.
+
+
+def _jtj_pattern(instances, n):
+    """Lower-triangular nonzero pattern {(i, j), i >= j} of JtJ from the
+    static instance variable ids. The diagonal is always present (the LM
+    damping lands there)."""
+    pat = {(i, i) for i in range(n)}
+    for inst in instances:
+        ids = inst[1]
+        for a in ids:
+            for b in ids:
+                if a >= b:
+                    pat.add((a, b))
+    return pat
+
+
+def _symbolic_fill(pat, n):
+    """Crout Cholesky fill-in: nzL[i][j] (j <= i) is True iff L[i][j] is
+    structurally nonzero — A's pattern plus fill (L[i][k] and L[j][k] both
+    nonzero for some k < j)."""
+    nzL = [[False] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            nzL[i][j] = (
+                (i, j) in pat
+                or any(nzL[i][k] and nzL[j][k] for k in range(j))
+            )
+    return nzL
+
+
+def jtj_fill_count(system: CompiledSystem) -> int:
+    """Lower-triangular structural nonzero count of the Cholesky factor of
+    this topology's JtJ (diagonal included), fill-in included. Drives the
+    VMEM tile cap and the trace-size eligibility gate in ``batch``."""
+    n = system.n_vars
+    ids_list = [
+        [int(j) for j in b.idx[i]]
+        for b in system.blocks
+        for i in range(b.idx.shape[0])
+    ]
+    pat = _jtj_pattern([(None, ids) for ids in ids_list], n)
+    nzL = _symbolic_fill(pat, n)
+    return sum(nzL[i][j] for i in range(n) for j in range(i + 1))
+
+
 # -- tile-level evaluation (rows are (SUB, C) blocks) -------------------------
 
 
@@ -114,7 +172,9 @@ def _jac_rows(system32, instances, xrows, pars_t, shape, rhs_rows=None):
     n = system32.n_vars
     zero = jnp.zeros(shape, jnp.float32)
     one = jnp.ones(shape, jnp.float32)
-    jtj = [[zero for _ in range(n)] for _ in range(n)]
+    # JtJ entries stay None until an instance touches them: the factorization
+    # skips structurally-zero blocks entirely (see _symbolic_fill above).
+    jtj = [[None for _ in range(n)] for _ in range(n)]
     jtr = [zero for _ in range(n)]
     rows: List = []
     deg = [None] * system32.n_constraints
@@ -149,23 +209,40 @@ def _jac_rows(system32, instances, xrows, pars_t, shape, rhs_rows=None):
                 acc2 = (cols[a][0] * w) * (cols[b_][0] * w)
                 for d in range(1, dim):
                     acc2 = acc2 + (cols[a][d] * w) * (cols[b_][d] * w)
-                jtj[ga][gb] = jtj[ga][gb] + acc2
+                jtj[ga][gb] = (
+                    acc2 if jtj[ga][gb] is None else jtj[ga][gb] + acc2
+                )
         deg[cid] = dg if deg[cid] is None else (deg[cid] | dg)
     deg = [d if d is not None else jnp.zeros(shape, jnp.bool_) for d in deg]
     return rows, jtj, jtr, deg
 
 
-def _chol_solve_rows(A, b):
+def _chol_solve_rows(A, b, nzL=None):
     """Cholesky-Crout on lists of (SUB, C) blocks. Returns (x_rows,
     fail_row): per-lane NaN on the diagonal marks non-SPD; failed lanes'
-    solves are zeroed (mirrors ops.linalg.spd_solve)."""
+    solves are zeroed (mirrors ops.linalg.spd_solve).
+
+    ``nzL`` (from ``_symbolic_fill``): the factor's structural nonzero
+    pattern. Entries outside it — exact zeros in the dense computation —
+    emit NO ops, so mid-size banded topologies cost O(n*bw^2) traced ops
+    instead of O(n^3) with bit-identical results. ``A`` entries may be
+    None (structurally zero); the diagonal must be present."""
     n = len(b)
+    if nzL is None:
+        nzL = [[True] * n for _ in range(n)]
+    zero = jnp.zeros_like(b[0])
     L = [[None] * n for _ in range(n)]
     for i in range(n):
         for j in range(i + 1):
+            if not nzL[i][j]:
+                continue
             s = A[i][j]
             for k in range(j):
-                s = s - L[i][k] * L[j][k]
+                if L[i][k] is not None and L[j][k] is not None:
+                    t = L[i][k] * L[j][k]
+                    s = -t if s is None else s - t
+            if s is None:  # fill-in entry with no structural A value
+                s = zero
             if i == j:
                 L[i][j] = jnp.sqrt(s)
             else:
@@ -177,22 +254,45 @@ def _chol_solve_rows(A, b):
         di = L[i][i]
         L[i][i] = jnp.where(jnp.isnan(di) | (di == 0.0), 1.0, di)
         for k in range(i):
-            L[i][k] = jnp.where(jnp.isnan(L[i][k]), 0.0, L[i][k])
+            if L[i][k] is not None:
+                L[i][k] = jnp.where(jnp.isnan(L[i][k]), 0.0, L[i][k])
     y = [None] * n
     for i in range(n):
         s = b[i]
         for k in range(i):
-            s = s - L[i][k] * y[k]
+            if L[i][k] is not None:
+                s = s - L[i][k] * y[k]
         y[i] = s / L[i][i]
     x = [None] * n
     for i in reversed(range(n)):
         s = y[i]
         for k in range(i + 1, n):
-            s = s - L[k][i] * x[k]
+            if L[k][i] is not None:
+                s = s - L[k][i] * x[k]
         x[i] = s / L[i][i]
-    zero = jnp.zeros_like(b[0])
     x = [jnp.where(fail, zero, xi) for xi in x]
     return x, fail
+
+
+def _damped_solve_rows(jtj, jtr, lam_0, n, nzL):
+    """Damp the (sparse, None-holed) normal matrix and solve it.
+
+    f32 damping floor (see solver.damped_spd_solve): a rank-deficient
+    JtJ + lam below f32 round-off is numerically non-SPD; without the
+    floor the first two trips of every underconstrained solve are wasted
+    on failed factorizations. A None diagonal entry (a variable no
+    instance touches) becomes the bare damping term."""
+    maxdiag = None
+    for i in range(n):
+        d = jtj[i][i]
+        if d is None:
+            continue
+        a = jnp.abs(d)
+        maxdiag = a if maxdiag is None else jnp.maximum(maxdiag, a)
+    lam_eff = jnp.maximum(lam_0, np.float32(1e-6) * maxdiag)
+    for i in range(n):
+        jtj[i][i] = lam_eff if jtj[i][i] is None else jtj[i][i] + lam_eff
+    return _chol_solve_rows(jtj, [-t for t in jtr], nzL)
 
 
 def _rows_max_abs(rows):
@@ -242,6 +342,7 @@ def make_coarse_fleet_solver(
     n = system32.n_vars
     n_cons = system32.n_constraints
     instances = _instance_list(system32)
+    nzL = _symbolic_fill(_jtj_pattern(instances, n), n)
     shapes = [(int(b.idx.shape[0]), int(b.par.shape[1])) for b in system32.blocks]
     # All scalars concrete f32: under x64 mode weak Python floats trace as
     # f64 constants, which Mosaic refuses.
@@ -318,17 +419,7 @@ def make_coarse_fleet_solver(
             _rows, jtj, jtr, deg_j = _jac_rows(
                 system32, instances, xrows, pars_t, rinf.shape
             )
-            # f32 damping floor (see solver.damped_spd_solve): a rank-
-            # deficient JtJ + lam below f32 round-off is numerically
-            # non-SPD; without the floor the first two trips of every
-            # underconstrained solve are wasted on failed factorizations.
-            maxdiag = jnp.abs(jtj[0][0])
-            for i in range(1, n):
-                maxdiag = jnp.maximum(maxdiag, jnp.abs(jtj[i][i]))
-            lam_eff = jnp.maximum(lam_0, np.float32(1e-6) * maxdiag)
-            for i in range(n):
-                jtj[i][i] = jtj[i][i] + lam_eff
-            d_rows, fail = _chol_solve_rows(jtj, [-t for t in jtr])
+            d_rows, fail = _damped_solve_rows(jtj, jtr, lam_0, n, nzL)
             step_inf = _rows_max_abs(d_rows)
 
             x_new = [xr + dr for xr, dr in zip(xrows, d_rows)]
@@ -546,6 +637,7 @@ def make_fused_fleet_solver(
     n = system32.n_vars
     n_cons = system32.n_constraints
     instances = _instance_list(system32)
+    nzL = _symbolic_fill(_jtj_pattern(instances, n), n)
     ds_instances = _ds_instance_list(system32)
     assert ds_instances is not None, "topology has kernels without DS variants"
     shapes = [(int(b.idx.shape[0]), int(b.par.shape[1])) for b in system32.blocks]
@@ -623,17 +715,7 @@ def make_fused_fleet_solver(
             _rows, jtj, jtr, deg_j = _jac_rows(
                 system32, instances, xrows, parhi_t, rinf.shape
             )
-            # f32 damping floor (see solver.damped_spd_solve): a rank-
-            # deficient JtJ + lam below f32 round-off is numerically
-            # non-SPD; without the floor the first two trips of every
-            # underconstrained solve are wasted on failed factorizations.
-            maxdiag = jnp.abs(jtj[0][0])
-            for i in range(1, n):
-                maxdiag = jnp.maximum(maxdiag, jnp.abs(jtj[i][i]))
-            lam_eff = jnp.maximum(lam_0, np.float32(1e-6) * maxdiag)
-            for i in range(n):
-                jtj[i][i] = jtj[i][i] + lam_eff
-            d_rows, fail = _chol_solve_rows(jtj, [-t for t in jtr])
+            d_rows, fail = _damped_solve_rows(jtj, jtr, lam_0, n, nzL)
             step_inf = _rows_max_abs(d_rows)
 
             x_new = [xr + dr for xr, dr in zip(xrows, d_rows)]
@@ -734,17 +816,7 @@ def make_fused_fleet_solver(
             rhs32 = [p[0] + p[1] for p in r_ds]
             _rw, jtj, jtr, deg_j = _jac_rows(
                 system32, instances, xhi, parhi_t, shape, rhs_rows=rhs32)
-            # f32 damping floor (see solver.damped_spd_solve): a rank-
-            # deficient JtJ + lam below f32 round-off is numerically
-            # non-SPD; without the floor the first two trips of every
-            # underconstrained solve are wasted on failed factorizations.
-            maxdiag = jnp.abs(jtj[0][0])
-            for i in range(1, n):
-                maxdiag = jnp.maximum(maxdiag, jnp.abs(jtj[i][i]))
-            lam_eff = jnp.maximum(lam_0, np.float32(1e-6) * maxdiag)
-            for i in range(n):
-                jtj[i][i] = jtj[i][i] + lam_eff
-            d_rows, fail = _chol_solve_rows(jtj, [-t for t in jtr])
+            d_rows, fail = _damped_solve_rows(jtj, jtr, lam_0, n, nzL)
             step_inf = _rows_max_abs(d_rows)
 
             x_new = [ds_add((h, l), (d, jnp.zeros_like(d)))

@@ -536,3 +536,60 @@ def test_fused_pads_up_not_down_past_one_unit():
     assert 2048 in solver._fused_runs
     assert int(np.asarray(out.x).shape[0]) == B
     assert bool(np.asarray(out.converged).all())
+
+
+def _rect_chain(R: int):
+    """R rectangles chained corner-to-corner (benches/midsize_bench.py's
+    construction): 6R+2 dim-1 constraints, 2(3R+1) vars. R >= 4 exceeds the
+    24-instance dense-unroll ceiling and exercises the Pallas kernels'
+    sparsity-aware (symbolic-fill) Cholesky path."""
+    pts = [DatumPoint(2 * i, 2 * i + 1) for i in range(3 * R + 1)]
+    cons = [
+        Constraint.Fixed(pts[0].x_id, 1.0),
+        Constraint.Fixed(pts[0].y_id, 1.0),
+    ]
+    guess = [(1.0, 1.0)]
+    for k in range(R):
+        s, u, v, w = pts[3 * k:3 * k + 4]
+        cons += [
+            Constraint.Horizontal(DatumLineSegment(s, u)),
+            Constraint.Vertical(DatumLineSegment(u, v)),
+            Constraint.Horizontal(DatumLineSegment(v, w)),
+            Constraint.Vertical(DatumLineSegment(w, s)),
+            Constraint.Distance(s, u, 4.0),
+            Constraint.Distance(s, w, 3.0),
+        ]
+        sx, sy = guess[3 * k]
+        guess += [(sx + 3.5, sy + 0.5), (sx + 4.2, sy + 3.4),
+                  (sx + 0.5, sy + 2.6)]
+    x0 = np.array([c for p in guess for c in p])
+    return cons, x0
+
+
+def test_fused_midsize_chain_matches_mixed_path():
+    """A 26-instance / 26-var chained-rectangle topology — past the dense
+    24-instance unroll ceiling — must take the fused Pallas path via the
+    sparsity-aware Cholesky and agree with the XLA mixed path."""
+    cons, base = _rect_chain(4)
+    system = compile_system(cons, n_vars=len(base))
+    assert sum(int(b.idx.shape[0]) for b in system.blocks) == 26
+
+    B = 1024
+    rng = np.random.default_rng(7)
+    x0 = jnp.asarray(np.tile(base, (B, 1)) + rng.normal(0, 0.01, (B, len(base))))
+    pars = _pars_for(system, B)
+
+    fused = BatchSolver(system, Config(), batch_params=True,
+                        precision="mixed", pallas_fused=True)
+    out = fused.solve(x0, pars)
+    assert fused._fused_runs and list(fused._fused_runs.values())[0] is not None
+    assert bool(np.asarray(out.converged).all())
+    assert bool(np.asarray(out.satisfied).all())
+
+    ref = BatchSolver(system, Config(), batch_params=True,
+                      precision="mixed").solve(x0, pars)
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x), atol=1e-6)
+    # True f64 residual at the fused answer meets the 1e-8 tolerance.
+    r, _ = jax.vmap(lambda x, *p: system.residual_and_flags(x, p))(
+        jnp.asarray(out.x, jnp.float64), *pars)
+    assert float(jnp.max(jnp.abs(r))) <= 1e-8

@@ -230,14 +230,18 @@ def test_pallas_eligibility_gates_are_disjunctive():
     """The Pallas fast paths must decline when ANY disqualifier holds —
     an untileable batch OR an oversized topology (mutation-found: an
     `and` would let one bad condition through on configs where the other
-    is fine). Also pins the measured unroll ceiling."""
-    from ezpz_tpu.batch import UNROLL_MAX_INSTANCES, BatchSolver
+    is fine). Also pins the measured ceilings: 24 instances for the dense
+    XLA unroll, 64 for the Pallas kernels (whose sparsity-aware Cholesky
+    keeps mid-size traces bounded)."""
+    from ezpz_tpu.batch import (PALLAS_MAX_INSTANCES, UNROLL_MAX_INSTANCES,
+                                BatchSolver)
 
-    assert UNROLL_MAX_INSTANCES == 24  # measured trace-size ceiling
+    assert UNROLL_MAX_INSTANCES == 24  # measured trace-size ceiling (XLA)
+    assert PALLAS_MAX_INSTANCES == 64  # kernel trace/compile-time ceiling
 
-    # 25 single-var instances: tile is fine at B=16384, instances are not.
-    big = compile_system([Constraint.Fixed(i, 1.0) for i in range(25)],
-                         n_vars=25)
+    # 65 single-var instances: tile is fine at B=16384, instances are not.
+    big = compile_system([Constraint.Fixed(i, 1.0) for i in range(65)],
+                         n_vars=65)
     s_big = BatchSolver(big, Config(), batch_params=True, precision="mixed",
                         pallas_coarse=True, pallas_fused=True)
     assert s_big._pallas_coarse_fn(16384) is None
@@ -253,13 +257,15 @@ def test_pallas_eligibility_gates_are_disjunctive():
 
 
 def test_pick_tile_respects_vmem_budget():
-    """The fused kernel's tile is capped so its ~(n^2+4n+4m+2c+64) live
-    (SUB, tile/SUB) f32 blocks fit the ~14MB VMEM budget; a 26-var
-    topology must get a smaller tile than the 16384 default, and every
-    returned tile must divide the batch (mutation-found: breaking the
-    denominator disables the cap — invisible on CPU interpret runs, a
-    compile-time OOM on a real chip)."""
+    """The fused kernel's tile is capped so its ~(2*nnzL+6n+6m+4c+64) live
+    (SUB, tile/SUB) f32 blocks fit the ~14MB VMEM budget — nnzL being the
+    SYMBOLIC Cholesky nonzero count (the kernel never materializes
+    structurally-zero blocks); a 26-var topology must get a smaller tile
+    than the 16384 default, and every returned tile must divide the batch
+    (mutation-found: breaking the denominator disables the cap —
+    invisible on CPU interpret runs, a compile-time OOM on a real chip)."""
     from ezpz_tpu.batch import BatchSolver
+    from ezpz_tpu.ops.pallas_fleet import jtj_fill_count
 
     cs = [Constraint.Fixed(i, float(i)) for i in range(26)]
     system = compile_system(cs, n_vars=26)
@@ -268,13 +274,31 @@ def test_pick_tile_respects_vmem_budget():
     tile = solver._pick_tile(B)
     assert tile is not None and B % tile == 0
     n, m = system.n_vars, system.n_rows
-    blocks = n * n + 4 * n + 4 * m + 2 * system.n_constraints + 64
+    nnz = jtj_fill_count(system)
+    assert nnz == 26  # 26 decoupled Fixed rows: a purely diagonal factor
+    blocks = 2 * nnz + 6 * n + 6 * m + 4 * system.n_constraints + 64
     assert tile * 4 * blocks <= 14e6
     assert tile < 16384
-    # Exact value for this topology: blocks = 676+104+104+52+64 = 1000,
-    # 14e6 // 4000 = 3500 lanes -> floor to the 1024 unit = 3072, then
-    # step down to the largest unit multiple dividing B=16384 -> 2048.
+    # Exact value for this topology: blocks = 52+156+156+104+64 = 532,
+    # 14e6 // 2128 = 6578 lanes -> floor to the 1024 unit = 6144, then
+    # step down to the largest unit multiple dividing B=16384 -> 4096.
     # Pins the byte-per-block factor and the budget constant in BOTH
     # directions (a smaller cap silently costs grid steps, a larger one
     # VMEM-OOMs).
-    assert tile == 2048
+    assert tile == 4096
+
+    # A COUPLED 26-var chain fills in: its factor is far denser than the
+    # diagonal one, so the cap must shrink further (the n^2-free formula
+    # still tracks true structure, not just var count).
+    p = [DatumPoint(2 * i, 2 * i + 1) for i in range(13)]
+    chain = [Constraint.Fixed(p[0].x_id, 0.0), Constraint.Fixed(p[0].y_id, 0.0)]
+    for a, b in zip(p, p[1:]):
+        chain.append(Constraint.Distance(a, b, 1.0))
+    csys = compile_system(chain, n_vars=26)
+    dense_nnz = jtj_fill_count(csys)
+    assert 26 < dense_nnz <= 26 * 27 // 2
+    s2 = BatchSolver(csys, Config(), precision="mixed")
+    t2 = s2._pick_tile(B)
+    blocks2 = (2 * dense_nnz + 6 * 26 + 6 * csys.n_rows
+               + 4 * csys.n_constraints + 64)
+    assert t2 is not None and t2 * 4 * blocks2 <= 14e6
