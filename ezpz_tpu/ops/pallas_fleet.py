@@ -115,18 +115,77 @@ def _symbolic_fill(pat, n):
     return nzL
 
 
+def _rcm_order(pat, n):
+    """Reverse Cuthill-McKee ordering of the JtJ adjacency graph. Returns
+    ``perm`` (position k holds the original variable index eliminated
+    k-th). Classic bandwidth-reducing heuristic: BFS from a minimum-degree
+    vertex per component, neighbors visited in increasing-degree order,
+    then reverse."""
+    adj = [set() for _ in range(n)]
+    for i, j in pat:
+        if i != j:
+            adj[i].add(j)
+            adj[j].add(i)
+    deg = [len(a) for a in adj]
+    visited = [False] * n
+    order = []
+    for start in sorted(range(n), key=lambda v: (deg[v], v)):
+        if visited[start]:
+            continue
+        visited[start] = True
+        queue = [start]
+        qi = 0
+        while qi < len(queue):
+            v = queue[qi]
+            qi += 1
+            order.append(v)
+            for w in sorted(adj[v], key=lambda u: (deg[u], u)):
+                if not visited[w]:
+                    visited[w] = True
+                    queue.append(w)
+    order.reverse()
+    return order
+
+
+def _plan_factorization(instances, n):
+    """(perm, nzL): the elimination plan for this topology's JtJ.
+
+    The kernel's variable numbering comes from declaration order, which a
+    user can shuffle arbitrarily — a zigzag-declared chain has a banded
+    GRAPH but a dense-looking numbering, and symbolic fill explodes. Try
+    the identity ordering and RCM; keep RCM only when it STRICTLY reduces
+    the symbolic nonzero count (ties keep identity, preserving the
+    bit-exact dense-unroll equivalence for already-well-ordered
+    topologies). ``perm`` is None for identity."""
+    pat = _jtj_pattern(instances, n)
+    nzL_id = _symbolic_fill(pat, n)
+    nnz_id = sum(map(sum, nzL_id))
+    perm = _rcm_order(pat, n)
+    inv = [0] * n
+    for k, v in enumerate(perm):
+        inv[v] = k
+    pat_p = {
+        (max(inv[i], inv[j]), min(inv[i], inv[j])) for (i, j) in pat
+    }
+    nzL_p = _symbolic_fill(pat_p, n)
+    if sum(map(sum, nzL_p)) < nnz_id:
+        return perm, nzL_p
+    return None, nzL_id
+
+
 def jtj_fill_count(system: CompiledSystem) -> int:
     """Lower-triangular structural nonzero count of the Cholesky factor of
-    this topology's JtJ (diagonal included), fill-in included. Drives the
-    VMEM tile cap and the trace-size eligibility gate in ``batch``."""
+    this topology's JtJ (diagonal included), fill-in included, under the
+    elimination ordering the kernel will actually use (identity or RCM,
+    whichever fills less). Drives the VMEM tile cap and the trace-size
+    eligibility gate in ``batch``."""
     n = system.n_vars
     ids_list = [
         [int(j) for j in b.idx[i]]
         for b in system.blocks
         for i in range(b.idx.shape[0])
     ]
-    pat = _jtj_pattern([(None, ids) for ids in ids_list], n)
-    nzL = _symbolic_fill(pat, n)
+    _perm, nzL = _plan_factorization([(None, ids) for ids in ids_list], n)
     return sum(nzL[i][j] for i in range(n) for j in range(i + 1))
 
 
@@ -274,14 +333,20 @@ def _chol_solve_rows(A, b, nzL=None):
     return x, fail
 
 
-def _damped_solve_rows(jtj, jtr, lam_0, n, nzL):
+def _damped_solve_rows(jtj, jtr, lam_0, n, plan):
     """Damp the (sparse, None-holed) normal matrix and solve it.
 
     f32 damping floor (see solver.damped_spd_solve): a rank-deficient
     JtJ + lam below f32 round-off is numerically non-SPD; without the
     floor the first two trips of every underconstrained solve are wasted
     on failed factorizations. A None diagonal entry (a variable no
-    instance touches) becomes the bare damping term."""
+    instance touches) becomes the bare damping term.
+
+    ``plan`` = (perm, nzL) from ``_plan_factorization``: when ``perm`` is
+    set, the factorization runs in that elimination order — a pure
+    trace-time relabeling of the Python block lists (zero runtime cost)
+    that keeps fill small for arbitrarily-numbered sketches."""
+    perm, nzL = plan
     maxdiag = None
     for i in range(n):
         d = jtj[i][i]
@@ -292,7 +357,15 @@ def _damped_solve_rows(jtj, jtr, lam_0, n, nzL):
     lam_eff = jnp.maximum(lam_0, np.float32(1e-6) * maxdiag)
     for i in range(n):
         jtj[i][i] = lam_eff if jtj[i][i] is None else jtj[i][i] + lam_eff
-    return _chol_solve_rows(jtj, [-t for t in jtr], nzL)
+    if perm is None:
+        return _chol_solve_rows(jtj, [-t for t in jtr], nzL)
+    A_p = [[jtj[perm[i]][perm[j]] for j in range(n)] for i in range(n)]
+    b_p = [-jtr[perm[i]] for i in range(n)]
+    x_p, fail = _chol_solve_rows(A_p, b_p, nzL)
+    d_rows = [None] * n
+    for k in range(n):
+        d_rows[perm[k]] = x_p[k]
+    return d_rows, fail
 
 
 def _rows_max_abs(rows):
@@ -342,7 +415,7 @@ def make_coarse_fleet_solver(
     n = system32.n_vars
     n_cons = system32.n_constraints
     instances = _instance_list(system32)
-    nzL = _symbolic_fill(_jtj_pattern(instances, n), n)
+    plan = _plan_factorization(instances, n)
     shapes = [(int(b.idx.shape[0]), int(b.par.shape[1])) for b in system32.blocks]
     # All scalars concrete f32: under x64 mode weak Python floats trace as
     # f64 constants, which Mosaic refuses.
@@ -419,7 +492,7 @@ def make_coarse_fleet_solver(
             _rows, jtj, jtr, deg_j = _jac_rows(
                 system32, instances, xrows, pars_t, rinf.shape
             )
-            d_rows, fail = _damped_solve_rows(jtj, jtr, lam_0, n, nzL)
+            d_rows, fail = _damped_solve_rows(jtj, jtr, lam_0, n, plan)
             step_inf = _rows_max_abs(d_rows)
 
             x_new = [xr + dr for xr, dr in zip(xrows, d_rows)]
@@ -637,7 +710,7 @@ def make_fused_fleet_solver(
     n = system32.n_vars
     n_cons = system32.n_constraints
     instances = _instance_list(system32)
-    nzL = _symbolic_fill(_jtj_pattern(instances, n), n)
+    plan = _plan_factorization(instances, n)
     ds_instances = _ds_instance_list(system32)
     assert ds_instances is not None, "topology has kernels without DS variants"
     shapes = [(int(b.idx.shape[0]), int(b.par.shape[1])) for b in system32.blocks]
@@ -715,7 +788,7 @@ def make_fused_fleet_solver(
             _rows, jtj, jtr, deg_j = _jac_rows(
                 system32, instances, xrows, parhi_t, rinf.shape
             )
-            d_rows, fail = _damped_solve_rows(jtj, jtr, lam_0, n, nzL)
+            d_rows, fail = _damped_solve_rows(jtj, jtr, lam_0, n, plan)
             step_inf = _rows_max_abs(d_rows)
 
             x_new = [xr + dr for xr, dr in zip(xrows, d_rows)]
@@ -816,7 +889,7 @@ def make_fused_fleet_solver(
             rhs32 = [p[0] + p[1] for p in r_ds]
             _rw, jtj, jtr, deg_j = _jac_rows(
                 system32, instances, xhi, parhi_t, shape, rhs_rows=rhs32)
-            d_rows, fail = _damped_solve_rows(jtj, jtr, lam_0, n, nzL)
+            d_rows, fail = _damped_solve_rows(jtj, jtr, lam_0, n, plan)
             step_inf = _rows_max_abs(d_rows)
 
             x_new = [ds_add((h, l), (d, jnp.zeros_like(d)))

@@ -593,3 +593,99 @@ def test_fused_midsize_chain_matches_mixed_path():
     r, _ = jax.vmap(lambda x, *p: system.residual_and_flags(x, p))(
         jnp.asarray(out.x, jnp.float64), *pars)
     assert float(jnp.max(jnp.abs(r))) <= 1e-8
+
+
+def _shuffled_rect_chain(R: int, seed: int = 5):
+    """_rect_chain with the VARIABLE NUMBERING shuffled (same constraint
+    graph): the banded structure survives only through an elimination
+    reordering, so this exercises the RCM plan."""
+    rng = np.random.default_rng(seed)
+    n = 2 * (3 * R + 1)
+    perm = rng.permutation(n)
+    pts = [DatumPoint(int(perm[2 * i]), int(perm[2 * i + 1]))
+           for i in range(3 * R + 1)]
+    cons = [
+        Constraint.Fixed(pts[0].x_id, 1.0),
+        Constraint.Fixed(pts[0].y_id, 1.0),
+    ]
+    guess = [(1.0, 1.0)]
+    for k in range(R):
+        s, u, v, w = pts[3 * k:3 * k + 4]
+        cons += [
+            Constraint.Horizontal(DatumLineSegment(s, u)),
+            Constraint.Vertical(DatumLineSegment(u, v)),
+            Constraint.Horizontal(DatumLineSegment(v, w)),
+            Constraint.Vertical(DatumLineSegment(w, s)),
+            Constraint.Distance(s, u, 4.0),
+            Constraint.Distance(s, w, 3.0),
+        ]
+        sx, sy = guess[3 * k]
+        guess += [(sx + 3.5, sy + 0.5), (sx + 4.2, sy + 3.4),
+                  (sx + 0.5, sy + 2.6)]
+    x0 = np.zeros(n)
+    for i, (gx, gy) in enumerate(guess):
+        x0[perm[2 * i]] = gx
+        x0[perm[2 * i + 1]] = gy
+    return cons, x0
+
+
+def test_rcm_plan_tames_shuffled_numbering():
+    """A shuffled chain has a banded GRAPH but a fill-heavy numbering: the
+    factorization plan must pick the RCM ordering and land near the
+    well-ordered chain's fill; a well-ordered chain must keep the identity
+    ordering (bit-exact dense equivalence preserved)."""
+    from ezpz_tpu.ops.pallas_fleet import (_instance_list, _jtj_pattern,
+                                           _plan_factorization,
+                                           _symbolic_fill, jtj_fill_count)
+
+    cons, x0 = _rect_chain(6)          # 38 inst / 38 vars, well-ordered
+    sys_ord = compile_system(cons, n_vars=len(x0), dtype=jnp.float32)
+    cons_s, x0_s = _shuffled_rect_chain(6)
+    sys_shuf = compile_system(cons_s, n_vars=len(x0_s), dtype=jnp.float32)
+
+    inst_ord = _instance_list(sys_ord)
+    inst_shuf = _instance_list(sys_shuf)
+    n = sys_ord.n_vars
+
+    # RCM accepts only strict improvements, so the planned fill is never
+    # worse than identity (on THIS chain it even beats the natural
+    # declaration order, 153 -> 111).
+    id_fill_ord = sum(map(sum, _symbolic_fill(_jtj_pattern(inst_ord, n), n)))
+    assert jtj_fill_count(sys_ord) <= id_fill_ord
+
+    # identity fill on the shuffled numbering is much worse than the plan's
+    id_fill = sum(map(sum, _symbolic_fill(_jtj_pattern(inst_shuf, n), n)))
+    perm_shuf, nzL = _plan_factorization(inst_shuf, n)
+    assert perm_shuf is not None
+    plan_fill = sum(map(sum, nzL))
+    assert plan_fill < id_fill / 2
+    # the shuffle is fully repaired: same graph -> same RCM fill
+    assert plan_fill == jtj_fill_count(sys_ord)
+
+
+def test_fused_shuffled_chain_matches_mixed_path():
+    """The fused kernel under an RCM elimination plan (shuffled 14-var
+    chain) must agree with the XLA mixed path."""
+    cons, base = _shuffled_rect_chain(2)
+    system = compile_system(cons, n_vars=len(base))
+
+    from ezpz_tpu.ops.pallas_fleet import _instance_list, _plan_factorization
+    perm, _ = _plan_factorization(
+        _instance_list(system.astype(jnp.float32)), system.n_vars)
+    assert perm is not None  # the shuffle must actually trigger RCM
+
+    B = 1024
+    rng = np.random.default_rng(11)
+    x0 = jnp.asarray(np.tile(base, (B, 1)) + rng.normal(0, 0.01, (B, len(base))))
+    pars = _pars_for(system, B)
+
+    fused = BatchSolver(system, Config(), batch_params=True,
+                        precision="mixed", pallas_fused=True)
+    out = fused.solve(x0, pars)
+    assert fused._fused_runs and list(fused._fused_runs.values())[0] is not None
+    assert bool(np.asarray(out.converged).all())
+    assert bool(np.asarray(out.satisfied).all())
+
+    ref = BatchSolver(system, Config(), batch_params=True,
+                      precision="mixed").solve(x0, pars)
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x), atol=1e-6)
