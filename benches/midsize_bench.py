@@ -12,12 +12,17 @@ sizes, through whichever path ``BatchSolver`` picks:
   unroll ceiling. Round 4: the fused kernel's sparsity-aware (symbolic
   fill) Cholesky makes it Pallas-eligible — measured fused AND XLA mixed.
 * ``rect_chain[8]`` — 50 instances, 50 vars: ditto, larger.
+* ``--sizes 11 16 24`` — arbitrary chain sizes; past 64 instances the
+  FILL-aware gate (round 4, ``batch._pallas_topology_ok``) keeps chains
+  on the fused path to ~150 vars (planned fill << dense-64's budget),
+  where the VMEM tile cap takes over.
 
 Protocol matches bench.py: per-rep fresh inputs (remote backends memoize
 identical calls), ONE combined host transfer per rep, median over reps.
 
 Usage:
     python benches/midsize_bench.py [--copies 32768] [--reps 5] [--cpu]
+                                    [--sizes 2 4 8]
 """
 
 from __future__ import annotations
@@ -131,6 +136,8 @@ def main(argv=None) -> int:
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--only", default=None, help="substring filter")
+    ap.add_argument("--sizes", type=int, nargs="+", default=[2, 4, 8],
+                    help="rect_chain sizes R (6R+2 instances, 6R+2 vars)")
     args = ap.parse_args(argv)
 
     import jax
@@ -144,14 +151,15 @@ def main(argv=None) -> int:
         os.environ.get("EZPZ_TPU_CACHE_DIR",
                        os.path.join(ROOT, ".jax_cache")))
 
-    runs = [
-        ("rect_chain[2]+fused", lambda: bench_fleet(2, args.copies, args.reps, True)),
-        ("rect_chain[2]+xla", lambda: bench_fleet(2, args.copies, args.reps, False)),
-        ("rect_chain[4]+fused", lambda: bench_fleet(4, args.copies, args.reps, True)),
-        ("rect_chain[4]+xla", lambda: bench_fleet(4, args.copies, args.reps, False)),
-        ("rect_chain[8]+fused", lambda: bench_fleet(8, args.copies, args.reps, True)),
-        ("rect_chain[8]+xla", lambda: bench_fleet(8, args.copies, args.reps, False)),
-    ]
+    def pair(R):
+        return [
+            (f"rect_chain[{R}]+fused",
+             lambda: bench_fleet(R, args.copies, args.reps, True)),
+            (f"rect_chain[{R}]+xla",
+             lambda: bench_fleet(R, args.copies, args.reps, False)),
+        ]
+
+    runs = [row for R in args.sizes for row in pair(R)]
     for name, fn in runs:
         if args.only and args.only not in name:
             continue

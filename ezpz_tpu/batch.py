@@ -38,8 +38,20 @@ UNROLL_MAX_INSTANCES = 24
 # factor's structural nonzeros), so mid-size topologies — past the dense
 # unroll ceiling above — still trace and compile in bounded size. The
 # ceiling is trace/compile time, not VMEM (the tile shrinks with the
-# symbolic nonzero count, see _pick_tile).
+# symbolic nonzero count, see _pick_tile), and trace size tracks the
+# PLANNED FACTOR FILL, not the variable count — a 150-var banded chain
+# traces fewer factorization ops than a dense 64-var sketch. Eligibility
+# is therefore fill-aware: up to PALLAS_MAX_INSTANCES every topology
+# qualifies unconditionally (dense-64 is the measured worst case that
+# still traces/compiles in bounded time); past that, a topology stays
+# eligible while its planned fill is at or below dense-64's factor
+# nonzero count (PALLAS_MAX_FILL). PALLAS_HARD_MAX_INSTANCES bounds the
+# residual/Jacobian unroll, whose trace size tracks instance count — in
+# practice the VMEM tile cap (_pick_tile) gates out first, around ~150
+# banded vars at the 1024-lane minimum tile.
 PALLAS_MAX_INSTANCES = 64
+PALLAS_MAX_FILL = 64 * 65 // 2  # dense-64's lower-triangular factor nnz
+PALLAS_HARD_MAX_INSTANCES = 256
 
 
 def _maybe_unroll(system: CompiledSystem):
@@ -219,8 +231,32 @@ class BatchSolver:
 
     # -- pallas coarse phase --------------------------------------------------
 
+    @property
+    def _fill_count(self) -> int:
+        """Planned-factor structural nonzero count for this topology
+        (ops/pallas_fleet.jtj_fill_count), computed once and cached — it
+        drives both the eligibility gate and the VMEM tile cap."""
+        if not hasattr(self, "_fill_count_cache"):
+            from .ops.pallas_fleet import jtj_fill_count
+
+            self._fill_count_cache = jtj_fill_count(self.system)
+        return self._fill_count_cache
+
+    def _pallas_topology_ok(self) -> bool:
+        """Fill-aware trace-size eligibility for the Pallas fleet kernels:
+        any topology up to PALLAS_MAX_INSTANCES, and beyond that only
+        topologies whose planned factor fill stays within dense-64's
+        (sparse mid-size sketches — chains, grids — qualify; fill-heavy
+        coupling does not)."""
+        n_instances = sum(int(b.idx.shape[0]) for b in self.system.blocks)
+        if not 0 < n_instances <= PALLAS_HARD_MAX_INSTANCES:
+            return False
+        if n_instances <= PALLAS_MAX_INSTANCES:
+            return True
+        return self._fill_count <= PALLAS_MAX_FILL
+
     def _pick_tile(self, B: int):
-        from .ops.pallas_fleet import DEFAULT_TILE, SUB, jtj_fill_count
+        from .ops.pallas_fleet import DEFAULT_TILE, SUB
 
         unit = 128 * SUB
         # VMEM-aware cap: the fused kernel materializes ~(2*nnzL + 6n + 6m +
@@ -233,7 +269,7 @@ class BatchSolver:
         # larger topologies take a proportionally smaller tile instead of
         # failing to compile. (+64 blocks of slack for temporaries.)
         n, m = self.system.n_vars, self.system.n_rows
-        nnz = jtj_fill_count(self.system)
+        nnz = self._fill_count
         blocks = 2 * nnz + 6 * n + 6 * m + 4 * self.system.n_constraints + 64
         vmem_lanes = int(14e6) // (4 * blocks)
         cap = min(DEFAULT_TILE, (vmem_lanes // unit) * unit)
@@ -249,9 +285,8 @@ class BatchSolver:
         None when the batch doesn't tile or the topology is too large to
         unroll in a kernel. ``FleetSolver`` wraps this same callable in
         ``shard_map`` (with B = per-device batch) to scale it out."""
-        n_instances = sum(int(b.idx.shape[0]) for b in self.system.blocks)
         tile = self._pick_tile(B)
-        if tile is None or not (0 < n_instances <= PALLAS_MAX_INSTANCES):
+        if tile is None or not self._pallas_topology_ok():
             return None
 
         from .ops.pallas_fleet import (
@@ -307,9 +342,8 @@ class BatchSolver:
             unpack_rows,
         )
 
-        n_instances = sum(int(b.idx.shape[0]) for b in self.system.blocks)
         tile = self._pick_tile(B)
-        if (tile is None or not (0 < n_instances <= PALLAS_MAX_INSTANCES)
+        if (tile is None or not self._pallas_topology_ok()
                 or _ds_instance_list(self._system32) is None):
             return None
 

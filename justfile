@@ -134,3 +134,8 @@ profile:
 # Build the native C++ extensions (fast parser + decomposition) in-place.
 native:
     python -c "from ezpz_tpu.native import build; print(build('fastparse', verbose=True)); print(build('fastdecomp', verbose=True))"
+
+# The past-64-instance fused-kernel equivalence test (interpret mode,
+# ~10-30 min; passed 2026-08-20). Real-chip evidence: MIDSIZE_r04.json.
+fused-past64:
+    EZPZ_TPU_RUN_SLOW_FUSED=1 python -m pytest tests/test_ds_fused.py::test_fused_past64_chain_matches_mixed_path -q

@@ -2,9 +2,12 @@
 (coarse f32 + in-kernel DS refinement, interpret mode on CPU).
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 import ezpz_tpu  # noqa: F401
 from ezpz_tpu.batch import BatchSolver
@@ -689,3 +692,42 @@ def test_fused_shuffled_chain_matches_mixed_path():
     ref = BatchSolver(system, Config(), batch_params=True,
                       precision="mixed").solve(x0, pars)
     np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x), atol=1e-6)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("EZPZ_TPU_RUN_SLOW_FUSED", "0") != "1",
+    reason="~10-30 min in interpret mode (68-var kernel x 1024 lanes); "
+           "run via `just fused-past64` / EZPZ_TPU_RUN_SLOW_FUSED=1. "
+           "The real-chip equivalence evidence is MIDSIZE_r04.json's "
+           "correctness gate (converged + satisfied + true-f64 residual).")
+def test_fused_past64_chain_matches_mixed_path():
+    """A 68-instance / 68-var chain — past the unconditional 64-instance
+    ceiling, admitted by the FILL-aware gate (planned fill well under
+    dense-64's 2080 budget) — must take the fused Pallas path end-to-end
+    and agree with the XLA mixed path. Interpret mode makes this the
+    suite's slowest fused run; real-chip numbers live in MIDSIZE_r04.json."""
+    cons, base = _rect_chain(11)
+    system = compile_system(cons, n_vars=len(base))
+    assert sum(int(b.idx.shape[0]) for b in system.blocks) == 68
+
+    B = 1024
+    rng = np.random.default_rng(13)
+    x0 = jnp.asarray(np.tile(base, (B, 1)) + rng.normal(0, 0.01, (B, len(base))))
+    pars = _pars_for(system, B)
+
+    fused = BatchSolver(system, Config(), batch_params=True,
+                        precision="mixed", pallas_fused=True)
+    assert fused._pallas_topology_ok()
+    out = fused.solve(x0, pars)
+    assert fused._fused_runs and list(fused._fused_runs.values())[0] is not None
+    assert bool(np.asarray(out.converged).all())
+    assert bool(np.asarray(out.satisfied).all())
+
+    ref = BatchSolver(system, Config(), batch_params=True,
+                      precision="mixed").solve(x0, pars)
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x), atol=1e-6)
+    # True f64 residual at the fused answer meets the 1e-8 tolerance.
+    r, _ = jax.vmap(lambda x, *p: system.residual_and_flags(x, p))(
+        jnp.asarray(out.x, jnp.float64), *pars)
+    assert float(jnp.max(jnp.abs(r))) <= 1e-8

@@ -226,26 +226,74 @@ def test_pallas_coarse_fleet_interpret_matches_vmap():
     np.testing.assert_allclose(x_out, np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def _expander(npts: int):
+    """A fill-heavy coupled topology: a chain plus pseudo-random chords
+    (i -> 7i+3 mod npts). The chord graph is expander-like, so no
+    elimination ordering (RCM included) can keep the factor sparse —
+    the planned fill grows ~quadratically with npts."""
+    from ezpz_tpu.datatypes import DatumPoint
+
+    pts = [DatumPoint(2 * i, 2 * i + 1) for i in range(npts)]
+    cons = [Constraint.Fixed(pts[0].x_id, 0.0),
+            Constraint.Fixed(pts[0].y_id, 0.0)]
+    for a, b in zip(pts, pts[1:]):
+        cons.append(Constraint.Distance(a, b, 1.0))
+    for i in range(npts):
+        j = (i * 7 + 3) % npts
+        if j != i:
+            cons.append(Constraint.Distance(pts[i], pts[j], 2.0))
+    return compile_system(cons, n_vars=2 * npts)
+
+
 def test_pallas_eligibility_gates_are_disjunctive():
     """The Pallas fast paths must decline when ANY disqualifier holds —
     an untileable batch OR an oversized topology (mutation-found: an
     `and` would let one bad condition through on configs where the other
     is fine). Also pins the measured ceilings: 24 instances for the dense
-    XLA unroll, 64 for the Pallas kernels (whose sparsity-aware Cholesky
-    keeps mid-size traces bounded)."""
-    from ezpz_tpu.batch import (PALLAS_MAX_INSTANCES, UNROLL_MAX_INSTANCES,
+    XLA unroll; for the Pallas kernels 64 instances unconditionally and
+    past that a planned-fill budget (the sparsity-aware Cholesky's trace
+    size tracks fill, not variable count), with a hard instance cap
+    bounding the residual/Jacobian unroll."""
+    from ezpz_tpu.batch import (PALLAS_HARD_MAX_INSTANCES, PALLAS_MAX_FILL,
+                                PALLAS_MAX_INSTANCES, UNROLL_MAX_INSTANCES,
                                 BatchSolver)
 
     assert UNROLL_MAX_INSTANCES == 24  # measured trace-size ceiling (XLA)
-    assert PALLAS_MAX_INSTANCES == 64  # kernel trace/compile-time ceiling
+    assert PALLAS_MAX_INSTANCES == 64  # unconditional (any-fill) ceiling
+    assert PALLAS_MAX_FILL == 2080     # dense-64's factor nnz
+    assert PALLAS_HARD_MAX_INSTANCES == 256
 
-    # 65 single-var instances: tile is fine at B=16384, instances are not.
+    # 65 single-var instances: above PALLAS_MAX_INSTANCES but the factor
+    # is purely diagonal (fill 65) — the fill-aware gate keeps it.
     big = compile_system([Constraint.Fixed(i, 1.0) for i in range(65)],
                          n_vars=65)
     s_big = BatchSolver(big, Config(), batch_params=True, precision="mixed",
                         pallas_coarse=True, pallas_fused=True)
-    assert s_big._pallas_coarse_fn(16384) is None
-    assert s_big._pallas_fused_fn(16384) is None
+    assert s_big._fill_count == 65
+    assert s_big._pallas_coarse_fn(16384) is not None
+    assert s_big._pallas_fused_fn(16384) is not None
+
+    # Expander coupling: 121 instances whose planned fill exceeds the
+    # budget no matter the ordering — declined even though the batch
+    # tiles and the instance count is under the hard cap.
+    exp = _expander(60)
+    s_exp = BatchSolver(exp, Config(), batch_params=True, precision="mixed",
+                        pallas_coarse=True, pallas_fused=True)
+    n_inst = sum(int(b.idx.shape[0]) for b in exp.blocks)
+    assert PALLAS_MAX_INSTANCES < n_inst <= PALLAS_HARD_MAX_INSTANCES
+    assert s_exp._fill_count > PALLAS_MAX_FILL
+    assert not s_exp._pallas_topology_ok()
+    assert s_exp._pallas_coarse_fn(16384) is None
+    assert s_exp._pallas_fused_fn(16384) is None
+
+    # Past the hard instance cap: declined regardless of fill (300
+    # decoupled Fixed rows fill only 300).
+    huge = compile_system([Constraint.Fixed(i, 1.0) for i in range(300)],
+                          n_vars=300)
+    s_huge = BatchSolver(huge, Config(), batch_params=True,
+                         precision="mixed", pallas_coarse=True,
+                         pallas_fused=True)
+    assert not s_huge._pallas_topology_ok()
 
     # 1 instance: topology is fine, B=100 cannot tile (unit is 1024).
     small = compile_system([Constraint.Fixed(0, 1.0)], n_vars=1)
