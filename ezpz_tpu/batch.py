@@ -268,10 +268,22 @@ class BatchSolver:
         # DEFAULT_TILE=16384 fits the 4-var headline topology comfortably;
         # larger topologies take a proportionally smaller tile instead of
         # failing to compile. (+64 blocks of slack for temporaries.)
+        #
+        # The 11.5e6 budget is calibrated against Mosaic's own scoped-vmem
+        # accounting on a real v5e (16M limit), which this block model
+        # undercounts by ~20% at the mid-size end (pipelining
+        # double-buffers the streamed in/out refs): a 98-var chain (2214
+        # blocks, tile 1024 = 9.1M modeled) compiles and runs; a 146-var
+        # chain (3270 blocks, tile 1024 = 13.4M modeled) was rejected by
+        # Mosaic at 16.02M actual. 11.5e6 keeps every measured-good tile
+        # (4-var/16384, 26-var/4096, 50-var/2048, 65-var/2048, 98-var/1024)
+        # and excludes the measured-bad one (146-var -> no tile -> XLA
+        # path). solve() additionally falls back at runtime if a kernel
+        # the model admits is rejected by the chip.
         n, m = self.system.n_vars, self.system.n_rows
         nnz = self._fill_count
         blocks = 2 * nnz + 6 * n + 6 * m + 4 * self.system.n_constraints + 64
-        vmem_lanes = int(14e6) // (4 * blocks)
+        vmem_lanes = int(11.5e6) // (4 * blocks)
         cap = min(DEFAULT_TILE, (vmem_lanes // unit) * unit)
         cand = min(cap, (B // unit) * unit)
         while cand >= unit:
@@ -414,6 +426,25 @@ class BatchSolver:
         )
         return x0p, parsp, B
 
+    def _reject_pallas(self, which: str, B: int, err: Exception) -> None:
+        """A Pallas kernel the eligibility model admitted was rejected by
+        the backend (in practice: Mosaic's scoped-vmem accounting on a real
+        chip exceeding the 16M limit where the tile model predicted a fit).
+        Cache the rejection so this batch size never retries the kernel,
+        warn once, and let solve() continue to the XLA path — degraded
+        throughput, never a crash."""
+        import warnings as _pywarnings
+
+        cache = self._fused_runs if which == "fused" else self._pallas_runs
+        cache[B] = None
+        _pywarnings.warn(
+            f"Pallas {which} kernel rejected by the backend for this "
+            f"topology (n_vars={self.system.n_vars}, planned fill="
+            f"{self._fill_count}, B={B}); falling back to the XLA path. "
+            f"Backend said: {str(err)[:200]}",
+            RuntimeWarning,
+        )
+
     def _finish_stragglers(self, result: BatchResult, x0, pars) -> BatchResult:
         """Re-solve the lanes the fixed-trip Pallas kernel left unconverged
         through the full-budget XLA path (restarting from their original
@@ -462,31 +493,40 @@ class BatchSolver:
             x0p, parsp, B = self._pad_to_tile(x0, pars)
             fused = self._pallas_fused_run(int(x0p.shape[0]))
             if fused is not None:
-                x, its, conv, sat, deg = fused(x0p, parsp)
-                out = BatchResult(
-                    x=x[:B], iterations=its[:B], converged=conv[:B],
-                    satisfied=sat[:B], degenerate=deg[:B],
-                )
-                if finish_stragglers:
-                    out = self._finish_stragglers(out, x0, pars)
-                return out
+                try:
+                    x, its, conv, sat, deg = fused(x0p, parsp)
+                except Exception as e:  # Mosaic compile rejection
+                    self._reject_pallas("fused", int(x0p.shape[0]), e)
+                else:
+                    out = BatchResult(
+                        x=x[:B], iterations=its[:B], converged=conv[:B],
+                        satisfied=sat[:B], degenerate=deg[:B],
+                    )
+                    if finish_stragglers:
+                        out = self._finish_stragglers(out, x0, pars)
+                    return out
         if self.pallas_coarse:
             x0p, parsp, B = self._pad_to_tile(x0, pars)
             coarse = self._pallas_coarse_run(int(x0p.shape[0]))
             if coarse is not None:
-                x1, its, deg = coarse(x0p, parsp)
-                res, sat = self._refine_run(
-                    x1, its, deg, parsp,
-                    c.residual_tolerance, c.step_tolerance, c.initial_lambda,
-                )
-                out = BatchResult(
-                    x=res.x[:B], iterations=res.iterations[:B],
-                    converged=res.converged[:B],
-                    satisfied=sat[:B], degenerate=res.deg[:B],
-                )
-                if finish_stragglers:
-                    out = self._finish_stragglers(out, x0, pars)
-                return out
+                try:
+                    x1, its, deg = coarse(x0p, parsp)
+                except Exception as e:  # Mosaic compile rejection
+                    self._reject_pallas("coarse", int(x0p.shape[0]), e)
+                else:
+                    res, sat = self._refine_run(
+                        x1, its, deg, parsp,
+                        c.residual_tolerance, c.step_tolerance,
+                        c.initial_lambda,
+                    )
+                    out = BatchResult(
+                        x=res.x[:B], iterations=res.iterations[:B],
+                        converged=res.converged[:B],
+                        satisfied=sat[:B], degenerate=res.deg[:B],
+                    )
+                    if finish_stragglers:
+                        out = self._finish_stragglers(out, x0, pars)
+                    return out
         args = (x0,) + ((pars,) if self.batch_params else ())
         res, sat = self._run(
             *args, c.residual_tolerance, c.step_tolerance, c.initial_lambda

@@ -666,6 +666,54 @@ def test_rcm_plan_tames_shuffled_numbering():
     assert plan_fill == jtj_fill_count(sys_ord)
 
 
+def test_symbolic_plan_matches_numeric_cholesky():
+    """Brute-force oracle for the factorization plan on random topologies:
+    build a generic SPD matrix with EXACTLY the instance pattern, factor
+    it numerically, and check (a) every numerically-nonzero factor entry
+    is inside the symbolic fill (no under-approximation — a miss would
+    silently drop terms from the in-kernel factorization), (b) the
+    returned RCM ordering is a true permutation, and (c) the planned fill
+    never exceeds the identity ordering's (the plan's acceptance rule)."""
+    from ezpz_tpu.ops.pallas_fleet import (_jtj_pattern, _plan_factorization,
+                                           _symbolic_fill)
+
+    rng = np.random.default_rng(42)
+    for trial in range(12):
+        n = int(rng.integers(4, 24))
+        n_inst = int(rng.integers(2, 3 * n))
+        insts = []
+        for _ in range(n_inst):
+            k = int(rng.integers(1, min(6, n) + 1))
+            ids = sorted(set(int(v) for v in rng.integers(0, n, k)))
+            insts.append((None, ids))
+
+        pat = _jtj_pattern(insts, n)
+        perm, nzL = _plan_factorization(insts, n)
+
+        # (b) perm is a permutation (or None = identity kept)
+        if perm is not None:
+            assert sorted(perm) == list(range(n)), (trial, perm)
+        # (c) acceptance rule: plan fill <= identity fill
+        id_fill = sum(map(sum, _symbolic_fill(pat, n)))
+        assert sum(map(sum, nzL)) <= id_fill, trial
+
+        # (a) numeric oracle in the PLANNED ordering: assemble a generic
+        # SPD matrix with exactly the pattern, permute, factor, compare.
+        A = np.zeros((n, n))
+        for _, ids in insts:
+            g = rng.normal(1.0, 0.3, len(ids))
+            A[np.ix_(ids, ids)] += np.outer(g, g)
+        A += np.eye(n) * (1.0 + np.abs(A).sum(axis=1).max())
+        order = perm if perm is not None else list(range(n))
+        Ap = A[np.ix_(order, order)]
+        L = np.linalg.cholesky(Ap)
+        numeric = np.abs(L) > 1e-12
+        for i in range(n):
+            for j in range(i + 1):
+                if numeric[i, j]:
+                    assert nzL[i][j], (trial, i, j)
+
+
 def test_fused_shuffled_chain_matches_mixed_path():
     """The fused kernel under an RCM elimination plan (shuffled 14-var
     chain) must agree with the XLA mixed path."""

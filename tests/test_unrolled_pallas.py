@@ -306,12 +306,18 @@ def test_pallas_eligibility_gates_are_disjunctive():
 
 def test_pick_tile_respects_vmem_budget():
     """The fused kernel's tile is capped so its ~(2*nnzL+6n+6m+4c+64) live
-    (SUB, tile/SUB) f32 blocks fit the ~14MB VMEM budget — nnzL being the
+    (SUB, tile/SUB) f32 blocks fit the VMEM budget — nnzL being the
     SYMBOLIC Cholesky nonzero count (the kernel never materializes
     structurally-zero blocks); a 26-var topology must get a smaller tile
     than the 16384 default, and every returned tile must divide the batch
     (mutation-found: breaking the denominator disables the cap —
-    invisible on CPU interpret runs, a compile-time OOM on a real chip)."""
+    invisible on CPU interpret runs, a compile-time OOM on a real chip).
+    The 11.5e6 budget constant is calibrated on a real v5e against
+    Mosaic's scoped-vmem accounting: 98-var chain at tile 1024 compiles
+    (9.1M modeled), 146-var at tile 1024 was rejected at 16.02M actual
+    (the block model undercounts the streamed refs' double-buffering by
+    ~20% at that size) — 11.5e6 keeps every measured-good tile and
+    excludes the measured-bad one."""
     from ezpz_tpu.batch import BatchSolver
     from ezpz_tpu.ops.pallas_fleet import jtj_fill_count
 
@@ -325,15 +331,24 @@ def test_pick_tile_respects_vmem_budget():
     nnz = jtj_fill_count(system)
     assert nnz == 26  # 26 decoupled Fixed rows: a purely diagonal factor
     blocks = 2 * nnz + 6 * n + 6 * m + 4 * system.n_constraints + 64
-    assert tile * 4 * blocks <= 14e6
+    assert tile * 4 * blocks <= 11.5e6
     assert tile < 16384
     # Exact value for this topology: blocks = 52+156+156+104+64 = 532,
-    # 14e6 // 2128 = 6578 lanes -> floor to the 1024 unit = 6144, then
+    # 11.5e6 // 2128 = 5404 lanes -> floor to the 1024 unit = 5120, then
     # step down to the largest unit multiple dividing B=16384 -> 4096.
     # Pins the byte-per-block factor and the budget constant in BOTH
     # directions (a smaller cap silently costs grid steps, a larger one
     # VMEM-OOMs).
     assert tile == 4096
+
+    # The measured chip boundary: a 98-var chain must keep the minimum
+    # tile; a 146-var chain must get NO tile (Mosaic rejected it).
+    from .test_ds_fused import _rect_chain
+    for R, want in ((16, 1024), (24, None)):
+        cons, x0 = _rect_chain(R)
+        sysR = compile_system(cons, n_vars=len(x0))
+        sR = BatchSolver(sysR, Config(), precision="mixed")
+        assert sR._pick_tile(32768) == want, (R, sR._pick_tile(32768))
 
     # A COUPLED 26-var chain fills in: its factor is far denser than the
     # diagonal one, so the cap must shrink further (the n^2-free formula
@@ -349,4 +364,51 @@ def test_pick_tile_respects_vmem_budget():
     t2 = s2._pick_tile(B)
     blocks2 = (2 * dense_nnz + 6 * 26 + 6 * csys.n_rows
                + 4 * csys.n_constraints + 64)
-    assert t2 is not None and t2 * 4 * blocks2 <= 14e6
+    assert t2 is not None and t2 * 4 * blocks2 <= 11.5e6
+
+
+def test_pallas_backend_rejection_falls_back_to_xla():
+    """If a kernel the tile model admits is rejected by the backend at
+    compile time (Mosaic scoped-vmem on a real chip), solve() must warn,
+    cache the rejection for that batch size, and fall back to the XLA
+    path — a degraded solve, never a crash (observed live: a 146-var
+    chain at tile 1024 exceeded Mosaic's 16M scoped-vmem by 20K while the
+    block model predicted 13.4M)."""
+    import warnings as pywarnings
+
+    from ezpz_tpu.batch import BatchSolver
+
+    cs = [Constraint.Fixed(0, 1.0), Constraint.Fixed(1, 2.0)]
+    system = compile_system(cs, n_vars=2)
+    solver = BatchSolver(system, Config(), batch_params=True,
+                         precision="mixed", pallas_fused=True)
+    B = 1024
+    x0 = jnp.zeros((B, 2))
+    pars = tuple(
+        jnp.tile(jnp.asarray(np.asarray(b.par)), (B, 1, 1))
+        for b in system.blocks
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("RESOURCE_EXHAUSTED: Ran out of memory in "
+                           "memory space vmem (simulated)")
+
+    solver._fused_runs[B] = boom
+    solver._pallas_runs[B] = boom
+    with pywarnings.catch_warnings(record=True) as caught:
+        pywarnings.simplefilter("always")
+        out = solver.solve(x0, pars)
+    msgs = [str(w.message) for w in caught if w.category is RuntimeWarning]
+    assert any("rejected by the backend" in m for m in msgs), msgs
+    # both kernels were rejected and cached as such; the XLA path solved
+    assert solver._fused_runs[B] is None
+    assert solver._pallas_runs[B] is None
+    assert bool(np.asarray(out.converged).all())
+    np.testing.assert_allclose(np.asarray(out.x[:, 0]), 1.0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(out.x[:, 1]), 2.0, atol=1e-8)
+    # and a repeat solve takes the XLA path silently (rejection cached)
+    with pywarnings.catch_warnings(record=True) as again:
+        pywarnings.simplefilter("always")
+        out2 = solver.solve(x0, pars)
+    assert not [w for w in again if w.category is RuntimeWarning]
+    assert bool(np.asarray(out2.converged).all())

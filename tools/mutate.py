@@ -99,12 +99,22 @@ def main(argv=None) -> int:
                     help="resume: skip the first N selected mutants (the "
                          "selection order is deterministic, so --skip 26 "
                          "continues an interrupted run at mutant 27)")
+    ap.add_argument("--lines", default=None, metavar="A-B",
+                    help="mutate only nodes whose line number is in [A, B] "
+                         "(targeted runs over one function/region of a "
+                         "large module)")
     ap.add_argument("--timeout", type=float, default=600.0)
     args = ap.parse_args(argv)
 
     src = open(args.target).read()
     tree = ast.parse(src)
     mutants = list(enumerate_mutants(tree))
+    if args.lines:
+        lo, hi = (int(t) for t in args.lines.split("-"))
+        mutants = [
+            (desc, m) for desc, m in mutants
+            if lo <= int(desc.split()[1].rstrip(":")) <= hi
+        ]
     step = max(1, len(mutants) // args.sample) if args.sample else 1
     selected = mutants[::step]
     n_all = len(selected)
