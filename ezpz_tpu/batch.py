@@ -38,20 +38,20 @@ UNROLL_MAX_INSTANCES = 24
 # factor's structural nonzeros), so mid-size topologies — past the dense
 # unroll ceiling above — still trace and compile in bounded size. The
 # ceiling is trace/compile time, not VMEM (the tile shrinks with the
-# symbolic nonzero count, see _pick_tile), and trace size tracks the
-# PLANNED FACTOR FILL, not the variable count — a 150-var banded chain
-# traces fewer factorization ops than a dense 64-var sketch. Eligibility
-# is therefore fill-aware: up to PALLAS_MAX_INSTANCES every topology
-# qualifies unconditionally (dense-64 is the measured worst case that
-# still traces/compiles in bounded time); past that, a topology stays
-# eligible while its planned fill is at or below dense-64's factor
-# nonzero count (PALLAS_MAX_FILL). PALLAS_HARD_MAX_INSTANCES bounds the
-# residual/Jacobian unroll, whose trace size tracks instance count — in
-# practice the VMEM tile cap (_pick_tile) gates out first, around ~150
-# banded vars at the 1024-lane minimum tile.
-PALLAS_MAX_INSTANCES = 64
+# symbolic nonzero count, see _pick_tile), and the factorization's trace
+# size tracks the PLANNED FACTOR FILL, not the variable count — a
+# 150-var banded chain traces fewer factorization ops than a dense
+# 64-var sketch. Eligibility is therefore fill-based: a topology
+# qualifies while its planned fill is at or below dense-64's factor
+# nonzero count (PALLAS_MAX_FILL — the measured worst case that still
+# traces/compiles in bounded time; round 3's ceiling was "24 dense
+# instances", round 4's sparse unroll made 64 dense tractable and fill
+# the right unit). PALLAS_MAX_INSTANCES bounds the residual/Jacobian row
+# unroll, whose trace size tracks instance count — in practice the VMEM
+# tile cap (_pick_tile) gates out first, around ~150 banded vars at the
+# 1024-lane minimum tile.
 PALLAS_MAX_FILL = 64 * 65 // 2  # dense-64's lower-triangular factor nnz
-PALLAS_HARD_MAX_INSTANCES = 256
+PALLAS_MAX_INSTANCES = 256
 
 
 def _maybe_unroll(system: CompiledSystem):
@@ -243,17 +243,13 @@ class BatchSolver:
         return self._fill_count_cache
 
     def _pallas_topology_ok(self) -> bool:
-        """Fill-aware trace-size eligibility for the Pallas fleet kernels:
-        any topology up to PALLAS_MAX_INSTANCES, and beyond that only
-        topologies whose planned factor fill stays within dense-64's
-        (sparse mid-size sketches — chains, grids — qualify; fill-heavy
-        coupling does not)."""
+        """Fill-based trace-size eligibility for the Pallas fleet kernels:
+        the planned factor fill must stay within dense-64's (sparse
+        mid-size sketches — chains, grids — qualify; fill-heavy coupling
+        does not), and the instance count within the row-unroll bound."""
         n_instances = sum(int(b.idx.shape[0]) for b in self.system.blocks)
-        if not 0 < n_instances <= PALLAS_HARD_MAX_INSTANCES:
-            return False
-        if n_instances <= PALLAS_MAX_INSTANCES:
-            return True
-        return self._fill_count <= PALLAS_MAX_FILL
+        return (0 < n_instances <= PALLAS_MAX_INSTANCES
+                and self._fill_count <= PALLAS_MAX_FILL)
 
     def _pick_tile(self, B: int):
         from .ops.pallas_fleet import DEFAULT_TILE, SUB

@@ -666,6 +666,21 @@ def test_rcm_plan_tames_shuffled_numbering():
     assert plan_fill == jtj_fill_count(sys_ord)
 
 
+def test_plan_tie_keeps_identity_ordering():
+    """On a fill TIE the plan must keep the identity ordering — RCM is
+    accepted only on STRICT improvement, preserving bit-exact equivalence
+    with the dense unroll for already-well-ordered topologies (a diagonal
+    pattern ties: every ordering of decoupled variables fills n).
+    Mutation-found: `<` -> `<=` in the acceptance rule flips ties to a
+    gratuitous RCM relabeling."""
+    from ezpz_tpu.ops.pallas_fleet import _plan_factorization
+
+    insts = [(None, [i]) for i in range(9)]
+    perm, nzL = _plan_factorization(insts, 9)
+    assert perm is None
+    assert sum(map(sum, nzL)) == 9
+
+
 def test_symbolic_plan_matches_numeric_cholesky():
     """Brute-force oracle for the factorization plan on random topologies:
     build a generic SPD matrix with EXACTLY the instance pattern, factor

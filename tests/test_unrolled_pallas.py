@@ -250,21 +250,18 @@ def test_pallas_eligibility_gates_are_disjunctive():
     an untileable batch OR an oversized topology (mutation-found: an
     `and` would let one bad condition through on configs where the other
     is fine). Also pins the measured ceilings: 24 instances for the dense
-    XLA unroll; for the Pallas kernels 64 instances unconditionally and
-    past that a planned-fill budget (the sparsity-aware Cholesky's trace
-    size tracks fill, not variable count), with a hard instance cap
-    bounding the residual/Jacobian unroll."""
-    from ezpz_tpu.batch import (PALLAS_HARD_MAX_INSTANCES, PALLAS_MAX_FILL,
-                                PALLAS_MAX_INSTANCES, UNROLL_MAX_INSTANCES,
-                                BatchSolver)
+    XLA unroll; for the Pallas kernels a planned-fill budget (the
+    sparsity-aware Cholesky's trace size tracks fill, not variable count)
+    and an instance cap bounding the residual/Jacobian row unroll."""
+    from ezpz_tpu.batch import (PALLAS_MAX_FILL, PALLAS_MAX_INSTANCES,
+                                UNROLL_MAX_INSTANCES, BatchSolver)
 
     assert UNROLL_MAX_INSTANCES == 24  # measured trace-size ceiling (XLA)
-    assert PALLAS_MAX_INSTANCES == 64  # unconditional (any-fill) ceiling
     assert PALLAS_MAX_FILL == 2080     # dense-64's factor nnz
-    assert PALLAS_HARD_MAX_INSTANCES == 256
+    assert PALLAS_MAX_INSTANCES == 256  # row-unroll bound
 
-    # 65 single-var instances: above PALLAS_MAX_INSTANCES but the factor
-    # is purely diagonal (fill 65) — the fill-aware gate keeps it.
+    # 65 single-var instances (above round 3's 64-instance ceiling): the
+    # factor is purely diagonal (fill 65) — the fill-based gate keeps it.
     big = compile_system([Constraint.Fixed(i, 1.0) for i in range(65)],
                          n_vars=65)
     s_big = BatchSolver(big, Config(), batch_params=True, precision="mixed",
@@ -275,25 +272,45 @@ def test_pallas_eligibility_gates_are_disjunctive():
 
     # Expander coupling: 121 instances whose planned fill exceeds the
     # budget no matter the ordering — declined even though the batch
-    # tiles and the instance count is under the hard cap.
+    # tiles and the instance count is under the cap.
     exp = _expander(60)
     s_exp = BatchSolver(exp, Config(), batch_params=True, precision="mixed",
                         pallas_coarse=True, pallas_fused=True)
     n_inst = sum(int(b.idx.shape[0]) for b in exp.blocks)
-    assert PALLAS_MAX_INSTANCES < n_inst <= PALLAS_HARD_MAX_INSTANCES
+    assert n_inst <= PALLAS_MAX_INSTANCES
     assert s_exp._fill_count > PALLAS_MAX_FILL
     assert not s_exp._pallas_topology_ok()
     assert s_exp._pallas_coarse_fn(16384) is None
     assert s_exp._pallas_fused_fn(16384) is None
 
-    # Past the hard instance cap: declined regardless of fill (300
-    # decoupled Fixed rows fill only 300).
-    huge = compile_system([Constraint.Fixed(i, 1.0) for i in range(300)],
-                          n_vars=300)
-    s_huge = BatchSolver(huge, Config(), batch_params=True,
+    # EXACT boundaries (mutation-found: `<=` -> `<` on either gate was
+    # invisible without same-value probes). Fill: stub the cached count —
+    # the budget is inclusive at dense-64's 2080, exclusive above.
+    okd = compile_system([Constraint.Fixed(i, 1.0) for i in range(8)],
+                         n_vars=8)
+    s_ok = BatchSolver(okd, Config(), batch_params=True, precision="mixed",
+                       pallas_coarse=True, pallas_fused=True)
+    s_ok._fill_count_cache = PALLAS_MAX_FILL
+    assert s_ok._pallas_topology_ok()
+    s_ok._fill_count_cache = PALLAS_MAX_FILL + 1
+    assert not s_ok._pallas_topology_ok()
+
+    # Instance cap: inclusive at 256 (diagonal fill stays under budget),
+    # exclusive at 257.
+    at_cap = compile_system(
+        [Constraint.Fixed(i, 1.0) for i in range(PALLAS_MAX_INSTANCES)],
+        n_vars=PALLAS_MAX_INSTANCES)
+    s_cap = BatchSolver(at_cap, Config(), batch_params=True,
+                        precision="mixed", pallas_coarse=True,
+                        pallas_fused=True)
+    assert s_cap._pallas_topology_ok()
+    over = compile_system(
+        [Constraint.Fixed(i, 1.0) for i in range(PALLAS_MAX_INSTANCES + 1)],
+        n_vars=PALLAS_MAX_INSTANCES + 1)
+    s_over = BatchSolver(over, Config(), batch_params=True,
                          precision="mixed", pallas_coarse=True,
                          pallas_fused=True)
-    assert not s_huge._pallas_topology_ok()
+    assert not s_over._pallas_topology_ok()
 
     # 1 instance: topology is fine, B=100 cannot tile (unit is 1024).
     small = compile_system([Constraint.Fixed(0, 1.0)], n_vars=1)
@@ -302,6 +319,17 @@ def test_pallas_eligibility_gates_are_disjunctive():
                           pallas_fused=True)
     assert s_small._pallas_coarse_fn(100) is None
     assert s_small._pallas_fused_fn(100) is None
+
+    # The VMEM-model slack term (+64 blocks) sits at a tile boundary for
+    # 75 diagonal instances at B=16384: blocks = 18*75+64 = 1414 ->
+    # lanes 2033 -> tile 1024. Dropping the slack (blocks-128 -> lanes
+    # 2235) would pick 2048 — a kernel the chip budget was NOT calibrated
+    # for (mutation-found: the `+ 64` was otherwise unobservable).
+    b75 = compile_system([Constraint.Fixed(i, 1.0) for i in range(75)],
+                         n_vars=75)
+    s75 = BatchSolver(b75, Config(), batch_params=True, precision="mixed",
+                      pallas_coarse=True, pallas_fused=True)
+    assert s75._pick_tile(16384) == 1024
 
 
 def test_pick_tile_respects_vmem_budget():
