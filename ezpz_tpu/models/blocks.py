@@ -261,11 +261,15 @@ class BlockSolver:
         config: Config = Config(),
         precision: str = "f64",
         pallas_coarse: bool = False,
+        pallas_fused: bool = False,
     ):
-        """``precision``/``pallas_coarse`` select the fleet fast paths (see
-        ``BatchSolver``): "mixed" for f32+f64-refinement throughput on TPU,
-        plus the Pallas VMEM-resident coarse kernel when the component
-        batches tile. The default stays reference-exact f64."""
+        """``precision``/``pallas_coarse``/``pallas_fused`` select the
+        fleet fast paths (see ``BatchSolver``): "mixed" for
+        f32+f64-refinement throughput on TPU, the Pallas VMEM-resident
+        coarse kernel, or the fully-fused coarse+double-single kernel —
+        applied per component bucket when it is eligible (fill-based gate,
+        batch tiling; ineligible buckets fall back transparently). The
+        default stays reference-exact f64."""
         import jax.numpy as jnp
 
         from ..batch import BatchSolver
@@ -278,7 +282,8 @@ class BlockSolver:
         self._solvers = [
             BatchSolver(b.system, config, batch_params=True,
                         precision=precision,
-                        pallas_coarse=pallas_coarse and precision == "mixed")
+                        pallas_coarse=pallas_coarse and precision == "mixed",
+                        pallas_fused=pallas_fused and precision == "mixed")
             for b in self.buckets
         ]
         self._pars = [tuple(jnp.asarray(p) for p in b.pars) for b in self.buckets]

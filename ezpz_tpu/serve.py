@@ -62,12 +62,23 @@ class SolverService:
     """
 
     def __init__(self, batch_window_ms: float = 2.0, max_batch: int = 4096,
-                 precision: str = "auto"):
+                 precision: str = "auto",
+                 pallas_fused: Optional[bool] = None):
         """``precision``: "f64", "mixed", or "auto" (default) — auto picks
         the mixed f32+f64-refinement path on TPU backends (~6x the f64
         throughput at the same verified 1e-8 tolerance; iteration counts in
         responses then differ from the pure-f64 path) and plain f64
-        elsewhere."""
+        elsewhere.
+
+        ``pallas_fused``: None (default) auto-enables the fused
+        double-single Pallas kernel for mixed-precision groups on REAL TPU
+        backends only (off-TPU the kernel runs in Mosaic's interpreter —
+        correct but far too slow to serve). Eligibility stays per-topology
+        (fill-based gate + batch tiling; ineligible groups transparently
+        take the XLA mixed path), and lanes the fixed-trip kernel leaves
+        unconverged are finished through the full-budget XLA path
+        (``finish_stragglers``) so response semantics keep the full
+        iteration budget. Pass True/False to force."""
         import jax
 
         from .config import Config
@@ -79,6 +90,9 @@ class SolverService:
             # throughput reason there).
             precision = "mixed" if jax.default_backend() == "tpu" else "f64"
         self.precision = precision
+        if pallas_fused is None:
+            pallas_fused = jax.default_backend() == "tpu"
+        self.pallas_fused = bool(pallas_fused)
         self.config = Config()
         self.batch_window = batch_window_ms / 1000.0
         self.max_batch = max_batch
@@ -182,9 +196,10 @@ class SolverService:
         solver = self._solvers.get(key)
         if solver is None:
             system = compile_system(constraints0, n_vars)
+            fused = self.pallas_fused and precision == "mixed"
             solver = (
                 BatchSolver(system, self.config, batch_params=True,
-                            precision=precision),
+                            precision=precision, pallas_fused=fused),
                 system,
             )
             self._solvers[key] = solver
@@ -213,7 +228,12 @@ class SolverService:
             for b in system.blocks
         )
 
-        res = batch_solver.solve(jnp.asarray(x0), pars)
+        res = batch_solver.solve(
+            jnp.asarray(x0), pars,
+            # Keep full-iteration-budget response semantics when the
+            # fixed-trip fused kernel serves the group (no-op otherwise).
+            finish_stragglers=batch_solver.pallas_fused,
+        )
         xs = np.asarray(res.x)
         iters = np.asarray(res.iterations)
         conv = np.asarray(res.converged)
