@@ -72,7 +72,38 @@ def rect_chain(R: int):
     return cons, x0
 
 
-def bench_fleet(R: int, copies: int, reps: int, pallas_fused: bool):
+def rect_grid(RX: int, RY: int):
+    """An RX x RY grid of unit cells pinned at one corner — 2-D coupling
+    (the chain benches are 1-D): every horizontal edge is Horizontal +
+    Distance 1, every vertical edge Vertical + Distance 1. Rigid up to the
+    pinned corner; RCM orders the grid to bandwidth ~ 2*min(RX,RY)."""
+    import numpy as np
+
+    import ezpz_tpu as ez
+
+    ids = ez.IdGenerator()
+    P = [[ez.DatumPoint.new(ids) for _ in range(RY + 1)]
+         for _ in range(RX + 1)]
+    seg = ez.DatumLineSegment
+    cons = [ez.Constraint.Fixed(P[0][0].id_x(), 0.0),
+            ez.Constraint.Fixed(P[0][0].id_y(), 0.0)]
+    rng = np.random.default_rng(3)
+    n = 2 * (RX + 1) * (RY + 1)
+    x0 = np.zeros(n)
+    for i in range(RX + 1):
+        for j in range(RY + 1):
+            x0[P[i][j].id_x()] = i + rng.normal(0, 0.05)
+            x0[P[i][j].id_y()] = j + rng.normal(0, 0.05)
+            if i < RX:
+                cons.append(ez.Constraint.Horizontal(seg(P[i][j], P[i + 1][j])))
+                cons.append(ez.Constraint.Distance(P[i][j], P[i + 1][j], 1.0))
+            if j < RY:
+                cons.append(ez.Constraint.Vertical(seg(P[i][j], P[i][j + 1])))
+                cons.append(ez.Constraint.Distance(P[i][j], P[i][j + 1], 1.0))
+    return cons, x0
+
+
+def bench_fleet(R, copies: int, reps: int, pallas_fused: bool):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -81,7 +112,13 @@ def bench_fleet(R: int, copies: int, reps: int, pallas_fused: bool):
     from ezpz_tpu.config import Config
     from ezpz_tpu.models.compiled import compile_system
 
-    cons, x0 = rect_chain(R)
+    if isinstance(R, str) and "x" in R:
+        rx, ry = (int(t) for t in R.split("x"))
+        cons, x0 = rect_grid(rx, ry)
+        topo = f"rect_grid[{R}]"
+    else:
+        cons, x0 = rect_chain(int(R))
+        topo = f"rect_chain[{R}]"
     system = compile_system(cons, n_vars=len(x0))
     n_instances = sum(int(b.idx.shape[0]) for b in system.blocks)
 
@@ -116,7 +153,7 @@ def bench_fleet(R: int, copies: int, reps: int, pallas_fused: bool):
     used_fused = bool(pallas_fused) and any(
         v is not None for v in solver._fused_runs.values())
     return {
-        "topology": f"rect_chain[{R}]",
+        "topology": topo,
         "n_instances": n_instances,
         "n_vars": system.n_vars,
         "copies": copies,
@@ -136,8 +173,9 @@ def main(argv=None) -> int:
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--only", default=None, help="substring filter")
-    ap.add_argument("--sizes", type=int, nargs="+", default=[2, 4, 8],
-                    help="rect_chain sizes R (6R+2 instances, 6R+2 vars)")
+    ap.add_argument("--sizes", nargs="+", default=["2", "4", "8"],
+                    help="rect_chain sizes R (6R+2 instances, 6R+2 vars), "
+                         "or RXxRY for a 2-D rect_grid (e.g. 5x5)")
     args = ap.parse_args(argv)
 
     import jax
@@ -152,10 +190,11 @@ def main(argv=None) -> int:
                        os.path.join(ROOT, ".jax_cache")))
 
     def pair(R):
+        kind = "rect_grid" if (isinstance(R, str) and "x" in R) else "rect_chain"
         return [
-            (f"rect_chain[{R}]+fused",
+            (f"{kind}[{R}]+fused",
              lambda: bench_fleet(R, args.copies, args.reps, True)),
-            (f"rect_chain[{R}]+xla",
+            (f"{kind}[{R}]+xla",
              lambda: bench_fleet(R, args.copies, args.reps, False)),
         ]
 
