@@ -19,6 +19,12 @@ sizes, through whichever path ``BatchSolver`` picks:
 
 Protocol matches bench.py: per-rep fresh inputs (remote backends memoize
 identical calls), ONE combined host transfer per rep, median over reps.
+Each row also reports an AMORTIZED rate (``BENCH_CHAIN`` dispatches per
+sync, default 8 on TPU): through this environment's tunnel a single
+device->host sync costs ~30 ms — more than the device needs to solve an
+entire 32768-sketch batch — so the sync protocol floors the fast rows;
+the chained rate is the steady-state pipeline rate, the closest analog
+of the reference CLI's in-process hot loop.
 
 Usage:
     python benches/midsize_bench.py [--copies 32768] [--reps 5] [--cpu]
@@ -125,7 +131,16 @@ def bench_fleet(R, copies: int, reps: int, pallas_fused: bool):
     solver = BatchSolver(system, Config(), batch_params=True,
                          precision="mixed", pallas_fused=pallas_fused)
     x0b = jnp.tile(jnp.asarray(x0), (copies, 1))
-    variants = [x0b + (k * 1e-9) for k in range(reps + 1)]
+    # Amortization chain: on the tunneled TPU the per-sync round trip
+    # (~30 ms) floors one-sync-per-batch rates, so the default chains 8
+    # dispatches per sync there; off-TPU there is no tunnel (and the
+    # fused path may be interpreting) — default to no chaining.
+    chain = int(os.environ.get(
+        "BENCH_CHAIN", "8" if jax.default_backend() == "tpu" else "1"))
+    variants = [x0b + (k * 1e-9) for k in range(reps * chain + 1)]
+    # Materialize every variant BEFORE timing (async dispatch would defer
+    # their device computation into the first timed sync otherwise).
+    float(sum(v[0, 0] for v in variants))
     pars = tuple(
         jnp.tile(jnp.asarray(np.asarray(b.par)), (copies, 1, 1))
         for b in system.blocks
@@ -136,19 +151,40 @@ def bench_fleet(R, copies: int, reps: int, pallas_fused: bool):
         float(out.x.sum())  # force host materialization (remote backend)
         return out
 
-    out = run_once(reps)  # warmup + correctness gate
+    out = run_once(reps * chain)  # warmup + correctness gate
     conv = bool(np.asarray(out.converged).all())
     sat = bool(np.asarray(out.satisfied).all())
     r, _deg = jax.vmap(lambda x, *p: system.residual_and_flags(x, p))(
         jnp.asarray(out.x, jnp.float64), *pars)
     rmax = float(jnp.max(jnp.abs(r)))
 
+    # Protocol 1 (sync): one host sync per batch — includes the full
+    # device->host round trip (~30 ms through this environment's tunnel),
+    # which FLOORS small-batch rates; the reference's in-process hot loop
+    # pays no such transfer at all.
     times = []
     for k in range(reps):
         t0 = time.perf_counter()
         run_once(k)
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]
+
+    # Protocol 2 (amortized): `chain` back-to-back batch dispatches (fresh
+    # inputs each; the remote terminal memoizes identical calls) with ONE
+    # final sync over a scalar that depends on every output — the
+    # steady-state pipeline rate, the closest analog of the reference
+    # CLI's 100-resolve hot loop (ezpz-cli/src/main.rs:96-100).
+    ctimes = []
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        acc = None
+        for k in range(chain):
+            o = solver.solve(variants[rep * chain + k], pars)
+            s = o.x.sum()
+            acc = s if acc is None else acc + s
+        float(acc)
+        ctimes.append(time.perf_counter() - t0)
+    cdt = sorted(ctimes)[len(ctimes) // 2]
 
     used_fused = bool(pallas_fused) and any(
         v is not None for v in solver._fused_runs.values())
@@ -160,6 +196,9 @@ def bench_fleet(R, copies: int, reps: int, pallas_fused: bool):
         "path": ("pallas_fused" if used_fused else "xla_mixed"),
         "solves_per_sec": round(copies / dt, 1),
         "us_per_solve": round(dt / copies * 1e6, 3),
+        "amortized_solves_per_sec": round(chain * copies / cdt, 1),
+        "amortized_us_per_solve": round(cdt / (chain * copies) * 1e6, 4),
+        "chain": chain,
         "converged": conv,
         "satisfied": sat,
         "residual_f64_max": rmax,
