@@ -49,9 +49,13 @@ def main():
     # Decompose the fixture into its component blocks and batch M copies of
     # the whole system along the component axis.
     buckets = build_buckets(constraints, n_vars)
-    # 32768 copies amortize dispatch overhead best (~25% over 16384); the
-    # larger compile is absorbed by the persistent compilation cache above.
-    M = int(os.environ.get("BENCH_COPIES", "32768"))
+    # Operating point from the round-4 sweep (M x K, one v5e): M=8192
+    # copies with a 32-deep dispatch chain per sync measures 582k
+    # solves/sec vs 354-392k for M=32768 with one sync per batch — the
+    # sync protocol pays the ~30 ms tunnel round trip per rep, the
+    # chained protocol only once, and smaller batches pipeline better
+    # (lower HBM pressure across in-flight dispatches).
+    M = int(os.environ.get("BENCH_COPIES", "8192"))
 
     # Mixed precision: f32 LM + f64-residual refinement (solve_lm_mixed).
     # TPUs have no native f64; the refinement still verifies the final
@@ -62,11 +66,13 @@ def main():
     precision = os.environ.get("BENCH_PRECISION", "mixed")
     from ezpz_tpu.batch import BatchSolver
 
-    # Each rep gets ITS OWN perturbed initial-guess batch: a remote-tunnel
-    # backend may memoize identical (executable, args) calls, which would
-    # fake the timing. Offsets of ~1e-9 don't change iteration counts.
+    # Each dispatch gets ITS OWN perturbed initial-guess batch: a
+    # remote-tunnel backend may memoize identical (executable, args)
+    # calls, which would fake the timing. Offsets of ~1e-9 don't change
+    # iteration counts. The perturbation is computed ON DEVICE inside the
+    # timed region (a 161-variant pre-build would need ~25 GB host-side;
+    # the measured rates include this ~1 ms/batch of extra device work).
     reps = int(os.environ.get("BENCH_REPS", "5"))
-    n_variants = reps + 1  # +1 for the warmup
     # The coarse phase runs as the Pallas VMEM-resident fori-loop kernel
     # (ops/pallas_fleet.py) by default — measured ~40% faster end to end
     # than the XLA while_loop coarse phase (BENCH_PALLAS=0 to compare).
@@ -91,24 +97,29 @@ def main():
         # arrays moves hundreds of MB through the remote tunnel; uploading
         # the per-component template (KBs) and tiling with jnp is instant.
         x0b = jnp.tile(jnp.asarray(x0[bucket.var_index]), (M, 1))
-        x0_variants = [x0b + (k * 1e-9) for k in range(n_variants)]
         pars = tuple(jnp.tile(jnp.asarray(p), (M, 1, 1)) for p in bucket.pars)
-        solvers.append((solver, x0_variants, pars))
+        solvers.append((solver, x0b, pars))
+
+    def dispatch(k):
+        """One batch solve on the k-th perturbed inputs; returns the outs
+        and a scalar that depends on every output (forcing execution)."""
+        outs = [s.solve(xb + (k * 1e-9), pb) for s, xb, pb in solvers]
+        total = outs[0].x.sum()
+        for o in outs[1:]:
+            total = total + o.x.sum()
+        return outs, total
 
     def run_once(k):
-        outs = [s.solve(xv[k], pb) for s, xv, pb in solvers]
+        outs, total = dispatch(k)
         # Force full materialization on host: with a remote-tunnel backend,
         # block_until_ready alone does not guarantee execution finished.
         # ONE combined scalar -> one host round trip instead of one per
         # bucket (each costs tens of ms through the tunnel).
-        total = outs[0].x.sum()
-        for o in outs[1:]:
-            total = total + o.x.sum()
         float(total)
         return outs
 
     # Warm up (compile) + correctness gate.
-    outs = run_once(reps)  # the extra variant, reserved for warmup
+    outs = run_once(10 ** 6)  # a variant index reserved for warmup
     ok = all(bool(np.asarray(o.converged).all()) for o in outs)
     sat = all(bool(np.asarray(o.satisfied).all()) for o in outs)
     iters = max(int(np.asarray(o.iterations).max()) for o in outs)
@@ -129,9 +140,18 @@ def main():
         return 1
 
     # Timed region: per-rep times, median reported (robust to transient
-    # remote-tunnel contention). EZPZ_TPU_PROFILE_DIR captures a
-    # jax.profiler trace (the TPU analog of the reference's
-    # `just flamegraph`, justfile:35-36).
+    # remote-tunnel contention). Two protocols, as in the per-case latency
+    # bench: `sync` = one host sync per batch (pays the ~30 ms tunnel
+    # round trip every rep — through this environment the round trip is
+    # comparable to the device time for the whole batch); `amortized` =
+    # BENCH_CHAIN dispatches per sync, fresh inputs each, one final
+    # scalar sync depending on every output — the steady-state pipeline
+    # rate, the closest analog of the reference CLI's in-process
+    # 100-resolve hot loop (ezpz-cli/src/main.rs:96-100), reported as the
+    # headline. EZPZ_TPU_PROFILE_DIR captures a jax.profiler trace (the
+    # TPU analog of the reference's `just flamegraph`, justfile:35-36).
+    chain = int(os.environ.get(
+        "BENCH_CHAIN", "32" if jax.default_backend() == "tpu" else "1"))
     profile_dir = os.environ.get("EZPZ_TPU_PROFILE_DIR")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
@@ -141,9 +161,20 @@ def main():
         run_once(k)
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]
+    ctimes = []
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        acc = None
+        for k in range(chain):
+            _outs, total = dispatch(reps + rep * chain + k)
+            acc = total if acc is None else acc + total
+        float(acc)
+        ctimes.append(time.perf_counter() - t0)
+    cdt = sorted(ctimes)[len(ctimes) // 2]
     if profile_dir:
         jax.profiler.stop_trace()
-    solves_per_sec = M / dt
+    sync_solves_per_sec = M / dt
+    solves_per_sec = chain * M / cdt
 
     detail = {
         "system": "2400 vars / 2400 eqs x %d copies" % M,
@@ -153,6 +184,12 @@ def main():
         "lm_iterations": iters,
         "device": str(jax.devices()[0]),
         "sketch_solves_per_sec": round(solves_per_sec * 600, 0),
+        "protocol": "amortized: %d dispatches/sync (fresh inputs each, one "
+                    "final scalar sync over all outputs) — steady-state "
+                    "pipeline rate, the analog of the reference CLI's "
+                    "in-process hot loop; sync rate below pays one ~30 ms "
+                    "tunnel round trip per batch" % chain,
+        "sync_solves_per_sec": round(sync_solves_per_sec, 1),
     }
 
     # Second headline: the genuinely COUPLED (non-block-diagonal) massive
