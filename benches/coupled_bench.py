@@ -80,6 +80,26 @@ def run(lines: int = 600, copies: int = 64, precision: str = "mixed",
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]
 
+    # Amortized pipeline rate (the headline, as in bench.py/midsize): the
+    # sync protocol above pays this environment's ~30 ms device->host
+    # round trip per batch, a large fraction of the whole batch time;
+    # chaining BENCH_CHAIN dispatches (fresh inputs each) behind ONE
+    # final scalar sync measures the steady-state device rate. Off-TPU
+    # (no tunnel) the chain defaults to 1 and both numbers coincide.
+    chain = int(os.environ.get(
+        "BENCH_CHAIN", "8" if jax.default_backend() == "tpu" else "1"))
+    ctimes = []
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        acc = None
+        for k in range(chain):
+            r, _s = solver.solve_batch(x0s + (reps + rep * chain + k + 1) * 1e-9)
+            s_ = jnp.sum(r.x)
+            acc = s_ if acc is None else acc + s_
+        float(acc)
+        ctimes.append(time.perf_counter() - t0)
+    cdt = sorted(ctimes)[len(ctimes) // 2]
+
     # batch=1 latency: one synchronous coupled solve (warm), the
     # interactive-use complement of the batched throughput number.
     lat_us = None
@@ -94,8 +114,10 @@ def run(lines: int = 600, copies: int = 64, precision: str = "mixed",
 
     return {
         "metric": "coupled_system_solves_per_sec",
-        "value": round(copies / dt, 2),
+        "value": round(chain * copies / cdt, 2),
         "unit": "solves/sec",
+        "sync_solves_per_sec": round(copies / dt, 2),
+        "chain": chain,
         "batch1_latency_us": lat_us,
         # Report the RESOLVED choice ("auto" picks structurally at build).
         "boundary_solver": solver.boundary_solver,
@@ -109,6 +131,7 @@ def run(lines: int = 600, copies: int = 64, precision: str = "mixed",
             "n_parts": solver.P,
             "n_boundary": solver.n_b,
             "ms_per_batch": round(dt * 1e3, 1),
+            "amortized_ms_per_batch": round(cdt / chain * 1e3, 1),
             "device": str(jax.devices()[0]),
         },
     }
