@@ -79,9 +79,12 @@ coverage *ARGS="tests/ -q":
 # the new tests), ops/kernels.py 22/32 sampled (31/31 non-equivalent
 # after); after the new tests every NON-EQUIVALENT mutant is killed
 # (hand-confirmed per survivor). Protocol, killer tests, and the
-# equivalent-survivor adjudication: docs/MUTATION.md. Full runs mutate
-# files in place: run them in a disposable copy of the repo, never the
-# live tree (see mutants-full).
+# equivalent-survivor adjudication: docs/MUTATION.md. Round 4 mutated
+# the new Pallas planning/gate region in full with `--lines` (34
+# mutants, verification re-run 33/34 killed, the survivor provably
+# equivalent — docs/MUTATION.md "Round-4"). Full runs mutate files in
+# place: run them in a disposable copy of the repo, never the live tree
+# (see mutants-full).
 mutants:
     python tools/mutate.py ezpz_tpu/utils/warnings.py -- tests/test_warnings_lint.py -q
     python tools/mutate.py ezpz_tpu/solver.py --sample 40 -- \
