@@ -118,8 +118,15 @@ def main():
         float(total)
         return outs
 
-    # Warm up (compile) + correctness gate.
-    outs = run_once(10 ** 6)  # a variant index reserved for warmup
+    # Warm up (compile) + correctness gate. The warmup's variant index is
+    # the first one PAST the timed region's indices (sync reps use
+    # [0, reps); the amortized chains use [reps, reps*(chain+1))), so its
+    # perturbation stays at the same ~1e-7 scale as the timed dispatches —
+    # the convergence gate and reported lm_iterations are measured at the
+    # same starting-point scale the timing sees.
+    chain = int(os.environ.get(
+        "BENCH_CHAIN", "32" if jax.default_backend() == "tpu" else "1"))
+    outs = run_once(reps * (chain + 1) + 1)
     ok = all(bool(np.asarray(o.converged).all()) for o in outs)
     sat = all(bool(np.asarray(o.satisfied).all()) for o in outs)
     iters = max(int(np.asarray(o.iterations).max()) for o in outs)
@@ -150,8 +157,6 @@ def main():
     # 100-resolve hot loop (ezpz-cli/src/main.rs:96-100), reported as the
     # headline. EZPZ_TPU_PROFILE_DIR captures a jax.profiler trace (the
     # TPU analog of the reference's `just flamegraph`, justfile:35-36).
-    chain = int(os.environ.get(
-        "BENCH_CHAIN", "32" if jax.default_backend() == "tpu" else "1"))
     profile_dir = os.environ.get("EZPZ_TPU_PROFILE_DIR")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)

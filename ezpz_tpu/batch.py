@@ -54,6 +54,24 @@ PALLAS_MAX_FILL = 64 * 65 // 2  # dense-64's lower-triangular factor nnz
 PALLAS_MAX_INSTANCES = 256
 
 
+def _is_backend_rejection(err: Exception) -> bool:
+    """True when ``err`` is a compile/resource rejection from the TPU
+    backend — the only class of error the Pallas paths may degrade to XLA
+    on (in practice: Mosaic's scoped-vmem accounting on a real chip
+    exceeding the 16M limit where the tile model predicted a fit, or a
+    Mosaic lowering refusal). Anything else — packing/tracing bugs, bad
+    user inputs — is a real defect and must propagate, not be cached as a
+    permanent backend rejection and silently degraded."""
+    name = type(err).__name__
+    msg = str(err)
+    return (
+        name in ("XlaRuntimeError", "JaxRuntimeError")
+        or any(tag in msg for tag in (
+            "RESOURCE_EXHAUSTED", "Mosaic", "mosaic", "vmem", "VMEM",
+        ))
+    )
+
+
 def _maybe_unroll(system: CompiledSystem):
     from .ops.unrolled import UnrolledSystem
 
@@ -235,18 +253,29 @@ class BatchSolver:
     def _fill_count(self) -> int:
         """Planned-factor structural nonzero count for this topology
         (ops/pallas_fleet.jtj_fill_count), computed once and cached — it
-        drives both the eligibility gate and the VMEM tile cap."""
+        drives both the eligibility gate and the VMEM tile cap. Computed
+        with the gate's cap as an early-exit limit: the count is exact for
+        every eligible topology (and for any fill the VMEM model ever
+        sees), and an over-cap topology answers ``PALLAS_MAX_FILL + 1``
+        without finishing the symbolic analysis."""
         if not hasattr(self, "_fill_count_cache"):
             from .ops.pallas_fleet import jtj_fill_count
 
-            self._fill_count_cache = jtj_fill_count(self.system)
+            self._fill_count_cache = jtj_fill_count(
+                self.system, limit=PALLAS_MAX_FILL)
         return self._fill_count_cache
 
     def _pallas_topology_ok(self) -> bool:
         """Fill-based trace-size eligibility for the Pallas fleet kernels:
         the planned factor fill must stay within dense-64's (sparse
         mid-size sketches — chains, grids — qualify; fill-heavy coupling
-        does not), and the instance count within the row-unroll bound."""
+        does not), and the instance count within the row-unroll bound.
+
+        Ordering matters: the instance-count gate is O(#blocks) and MUST
+        short-circuit before ``_fill_count`` touches the symbolic planner,
+        so an oversized topology (serve points whole topology groups here)
+        declines instantly instead of running a symbolic analysis first
+        (tests/test_planner_gate.py pins this)."""
         n_instances = sum(int(b.idx.shape[0]) for b in self.system.blocks)
         return (0 < n_instances <= PALLAS_MAX_INSTANCES
                 and self._fill_count <= PALLAS_MAX_FILL)
@@ -293,8 +322,14 @@ class BatchSolver:
         None when the batch doesn't tile or the topology is too large to
         unroll in a kernel. ``FleetSolver`` wraps this same callable in
         ``shard_map`` (with B = per-device batch) to scale it out."""
+        # Cheap gate FIRST: _pick_tile reads _fill_count (the symbolic
+        # planner), so the O(#blocks) instance-count gate inside
+        # _pallas_topology_ok must short-circuit before it (serve routes
+        # whole topology groups here, including oversized ones).
+        if not self._pallas_topology_ok():
+            return None
         tile = self._pick_tile(B)
-        if tile is None or not self._pallas_topology_ok():
+        if tile is None:
             return None
 
         from .ops.pallas_fleet import (
@@ -350,9 +385,14 @@ class BatchSolver:
             unpack_rows,
         )
 
-        tile = self._pick_tile(B)
-        if (tile is None or not self._pallas_topology_ok()
+        # Cheap gates FIRST (same ordering rule as _pallas_coarse_fn):
+        # the instance-count gate and the O(#instances) DS-variant check
+        # both run before _pick_tile forces the symbolic planner.
+        if (not self._pallas_topology_ok()
                 or _ds_instance_list(self._system32) is None):
+            return None
+        tile = self._pick_tile(B)
+        if tile is None:
             return None
 
         c = self.config
@@ -491,7 +531,9 @@ class BatchSolver:
             if fused is not None:
                 try:
                     x, its, conv, sat, deg = fused(x0p, parsp)
-                except Exception as e:  # Mosaic compile rejection
+                except Exception as e:
+                    if not _is_backend_rejection(e):
+                        raise  # real defect, not a Mosaic compile rejection
                     self._reject_pallas("fused", int(x0p.shape[0]), e)
                 else:
                     out = BatchResult(
@@ -507,7 +549,9 @@ class BatchSolver:
             if coarse is not None:
                 try:
                     x1, its, deg = coarse(x0p, parsp)
-                except Exception as e:  # Mosaic compile rejection
+                except Exception as e:
+                    if not _is_backend_rejection(e):
+                        raise  # real defect, not a Mosaic compile rejection
                     self._reject_pallas("coarse", int(x0p.shape[0]), e)
                 else:
                     res, sat = self._refine_run(

@@ -101,17 +101,65 @@ def _jtj_pattern(instances, n):
     return pat
 
 
+def _etree_fill(pat, n, limit=None):
+    """Structural Cholesky fill via the elimination-tree row-subtree
+    traversal (Davis, *Direct Methods for Sparse Linear Systems* §4.1):
+    the pattern of row ``i`` of L is the set of nodes reached by walking
+    each ``k`` with ``A[i][k] != 0, k < i`` up the etree until hitting a
+    node already marked for row ``i``. Every marked node is one structural
+    nonzero of L, so the whole analysis costs O(nnz(L)) — the O(n^3)
+    triple-loop this replaced made a mistakenly-routed 2,400-var topology
+    spend minutes planning before the eligibility gate could decline it.
+
+    ``pat`` is the lower-triangular A pattern (diagonal included — always
+    true for ``_jtj_pattern``, whose diagonal carries the LM damping).
+    Returns ``(count, rows)``: the factor's nonzero count (diagonal
+    included) and per-row off-diagonal column bitmasks. With ``limit``,
+    bails out as soon as ``count`` exceeds it and returns
+    ``(limit + 1, None)`` — eligibility gating needs only "over the cap",
+    never the pattern of an over-cap topology.
+    """
+    lower = [[] for _ in range(n)]
+    for i, j in pat:
+        if i != j:
+            lower[i].append(j)
+    parent = [-1] * n
+    visited = [-1] * n
+    rows = [0] * n
+    count = n  # the diagonal is always structurally present
+    if limit is not None and count > limit:
+        return limit + 1, None
+    for i in range(n):
+        visited[i] = i
+        for k in lower[i]:
+            j = k
+            while visited[j] != i:
+                visited[j] = i
+                rows[i] |= 1 << j
+                count += 1
+                if limit is not None and count > limit:
+                    return limit + 1, None
+                if parent[j] == -1:
+                    parent[j] = i
+                j = parent[j]
+    return count, rows
+
+
 def _symbolic_fill(pat, n):
-    """Crout Cholesky fill-in: nzL[i][j] (j <= i) is True iff L[i][j] is
+    """Cholesky fill-in: nzL[i][j] (j <= i) is True iff L[i][j] is
     structurally nonzero — A's pattern plus fill (L[i][k] and L[j][k] both
-    nonzero for some k < j)."""
+    nonzero for some k < j). Computed by ``_etree_fill`` (identical closure
+    to the Crout recurrence, Parter/Rose theorem; oracle-tested against a
+    numeric factorization in tests/test_ds_fused.py)."""
+    _count, rows = _etree_fill(pat, n)
     nzL = [[False] * n for _ in range(n)]
     for i in range(n):
-        for j in range(i + 1):
-            nzL[i][j] = (
-                (i, j) in pat
-                or any(nzL[i][k] and nzL[j][k] for k in range(j))
-            )
+        nzL[i][i] = True
+        r = rows[i]
+        while r:
+            j = (r & -r).bit_length() - 1
+            nzL[i][j] = True
+            r &= r - 1
     return nzL
 
 
@@ -147,46 +195,68 @@ def _rcm_order(pat, n):
     return order
 
 
+def _permuted_pattern(pat, perm, n):
+    """``pat`` relabeled so position ``k`` holds variable ``perm[k]``."""
+    inv = [0] * n
+    for k, v in enumerate(perm):
+        inv[v] = k
+    return {(max(inv[i], inv[j]), min(inv[i], inv[j])) for (i, j) in pat}
+
+
+def _candidate_orders(pat, n):
+    """The elimination orderings the planner considers, best-first on
+    ties: identity (None — preserves bit-exact dense-unroll equivalence
+    for well-ordered topologies), then RCM."""
+    return [None, _rcm_order(pat, n)]
+
+
 def _plan_factorization(instances, n):
     """(perm, nzL): the elimination plan for this topology's JtJ.
 
     The kernel's variable numbering comes from declaration order, which a
     user can shuffle arbitrarily — a zigzag-declared chain has a banded
     GRAPH but a dense-looking numbering, and symbolic fill explodes. Try
-    the identity ordering and RCM; keep RCM only when it STRICTLY reduces
-    the symbolic nonzero count (ties keep identity, preserving the
-    bit-exact dense-unroll equivalence for already-well-ordered
-    topologies). ``perm`` is None for identity."""
+    every candidate ordering (identity, RCM) and keep the first one
+    achieving the minimum symbolic nonzero count — so a reordering is
+    accepted only when it STRICTLY reduces fill (ties keep identity,
+    preserving the bit-exact dense-unroll equivalence for
+    already-well-ordered topologies). ``perm`` is None for identity."""
     pat = _jtj_pattern(instances, n)
-    nzL_id = _symbolic_fill(pat, n)
-    nnz_id = sum(map(sum, nzL_id))
-    perm = _rcm_order(pat, n)
-    inv = [0] * n
-    for k, v in enumerate(perm):
-        inv[v] = k
-    pat_p = {
-        (max(inv[i], inv[j]), min(inv[i], inv[j])) for (i, j) in pat
-    }
-    nzL_p = _symbolic_fill(pat_p, n)
-    if sum(map(sum, nzL_p)) < nnz_id:
-        return perm, nzL_p
-    return None, nzL_id
+    best_perm, best_count = None, None
+    for perm in _candidate_orders(pat, n):
+        p = pat if perm is None else _permuted_pattern(pat, perm, n)
+        count, _rows = _etree_fill(p, n)
+        if best_count is None or count < best_count:
+            best_perm, best_count = perm, count
+    p = pat if best_perm is None else _permuted_pattern(pat, best_perm, n)
+    return best_perm, _symbolic_fill(p, n)
 
 
-def jtj_fill_count(system: CompiledSystem) -> int:
+def jtj_fill_count(system: CompiledSystem, limit=None) -> int:
     """Lower-triangular structural nonzero count of the Cholesky factor of
     this topology's JtJ (diagonal included), fill-in included, under the
-    elimination ordering the kernel will actually use (identity or RCM,
-    whichever fills less). Drives the VMEM tile cap and the trace-size
-    eligibility gate in ``batch``."""
+    elimination ordering the kernel will actually use (the least-filling
+    candidate, see ``_plan_factorization``). Drives the VMEM tile cap and
+    the trace-size eligibility gate in ``batch``.
+
+    ``limit``: early-exit bound for gating callers — the count is exact
+    whenever it is <= limit, and any value > limit is reported as
+    ``limit + 1`` without finishing the analysis (each candidate
+    ordering's traversal stops at the cap, so even a huge mistakenly-
+    routed topology answers in O(n + candidates * limit))."""
     n = system.n_vars
-    ids_list = [
-        [int(j) for j in b.idx[i]]
+    pat = _jtj_pattern([
+        (None, [int(j) for j in b.idx[i]])
         for b in system.blocks
         for i in range(b.idx.shape[0])
-    ]
-    _perm, nzL = _plan_factorization([(None, ids) for ids in ids_list], n)
-    return sum(nzL[i][j] for i in range(n) for j in range(i + 1))
+    ], n)
+    best = None
+    for perm in _candidate_orders(pat, n):
+        p = pat if perm is None else _permuted_pattern(pat, perm, n)
+        count, _rows = _etree_fill(p, n, limit=limit)
+        if best is None or count < best:
+            best = count
+    return best
 
 
 # -- tile-level evaluation (rows are (SUB, C) blocks) -------------------------

@@ -147,6 +147,21 @@ class FleetSolver:
         self._fused_fleet_runs[B] = run
         return run
 
+    def _reject_fused(self, B: int, err: Exception) -> None:
+        """Cache a backend rejection of the shard-mapped fused kernel for
+        this global batch size and warn once; solve() falls through to the
+        sharded XLA path (mirrors ``BatchSolver._reject_pallas``)."""
+        import warnings as _pywarnings
+
+        self._fused_fleet_runs[B] = None
+        _pywarnings.warn(
+            f"Shard-mapped fused Pallas kernel rejected by the backend "
+            f"(n_vars={self.system.n_vars}, B={B}, "
+            f"devices={int(self.mesh.devices.size)}); falling back to the "
+            f"sharded XLA path. Backend said: {str(err)[:200]}",
+            RuntimeWarning,
+        )
+
     def solve(self, x0: jnp.ndarray, pars: Optional[Tuple] = None,
               finish_stragglers: bool = False) -> BatchResult:
         """``finish_stragglers`` (fused path only): lanes the fixed-trip
@@ -181,14 +196,27 @@ class FleetSolver:
                 x0p, parsp = jnp.asarray(x0), pars
             fused = self._fused_fleet_run(int(x0p.shape[0]))
             if fused is not None:
-                x, its, conv, sat, deg = fused(x0p, parsp)
-                out = BatchResult(
-                    x=x[:B], iterations=its[:B], converged=conv[:B],
-                    satisfied=sat[:B], degenerate=deg[:B],
-                )
-                if finish_stragglers:
-                    out = self._local._finish_stragglers(out, x0, pars)
-                return out
+                try:
+                    x, its, conv, sat, deg = fused(x0p, parsp)
+                except Exception as e:
+                    # Same safety net as BatchSolver.solve: a Mosaic
+                    # compile/resource rejection the tile model missed
+                    # degrades the fleet to the sharded XLA path (cached
+                    # per batch size, warned once) instead of crashing
+                    # the multi-device solve. Real defects propagate.
+                    from ..batch import _is_backend_rejection
+
+                    if not _is_backend_rejection(e):
+                        raise
+                    self._reject_fused(int(x0p.shape[0]), e)
+                else:
+                    out = BatchResult(
+                        x=x[:B], iterations=its[:B], converged=conv[:B],
+                        satisfied=sat[:B], degenerate=deg[:B],
+                    )
+                    if finish_stragglers:
+                        out = self._local._finish_stragglers(out, x0, pars)
+                    return out
         args = (x0,) + ((pars,) if self.batch_params else ())
         res, sat = self._run(
             *args, c.residual_tolerance, c.step_tolerance, c.initial_lambda
