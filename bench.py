@@ -213,7 +213,11 @@ def main():
             lines=600, copies=int(os.environ.get("BENCH_COUPLED_COPIES", "256")),
             precision="mixed", reps=3,
             n_parts=int(os.environ.get("BENCH_COUPLED_PARTS", "120")),
-            boundary_solver=os.environ.get("BENCH_COUPLED_BOUNDARY", "banded"))
+            boundary_solver=os.environ.get("BENCH_COUPLED_BOUNDARY", "banded"),
+            # batch=1 synchronous latency rides along (~3 warm solves):
+            # the interactive-use complement of the batched rate, asked
+            # for by two rounds of review and previously always null.
+            latency=True)
 
     print(json.dumps({
         "metric": "massive_parallel_system_solves_per_sec",

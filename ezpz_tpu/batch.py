@@ -81,6 +81,34 @@ def _maybe_unroll(system: CompiledSystem):
     return system
 
 
+def _pick_spd(system: CompiledSystem):
+    """Per-topology normal-equation solver for these ALWAYS-BATCHED
+    contexts, by measurement on the v5e (TUNING.md):
+
+    * n <= 24 — fully-unrolled Crout (inside ``spd_solve``);
+    * 24 < n <= 64 — the matmul-free column-sweep tier
+      (``spd_solve_batched``);
+    * n > 64 — the O(n*bw^2) scan BAND tier when the topology orders to
+      a narrow band (``ops.banded.plan_band``: identity or RCM, bw <= 32)
+      — a 146-var chain's band is 7 wide, and XLA's dense serialized
+      Cholesky on it was the round-4 3,000x mid-size cliff; the dense
+      tier remains only for topologies with no narrow ordering."""
+    from .ops.linalg import (UNROLL_COL_MAX_N, UNROLL_MAX_N, spd_solve,
+                             spd_solve_batched)
+
+    n = system.n_vars
+    if UNROLL_MAX_N < n <= UNROLL_COL_MAX_N:
+        return spd_solve_batched
+    if n > UNROLL_COL_MAX_N:
+        from .ops.banded import make_banded_spd, plan_band
+
+        plan = plan_band(system)
+        if plan is not None:
+            perm, bw = plan
+            return make_banded_spd(n, bw, perm)
+    return spd_solve
+
+
 @dataclass
 class BatchResult:
     x: jnp.ndarray  # (B, n_vars)
@@ -181,19 +209,9 @@ class BatchSolver:
         # final weighted residual (one full f64 residual pass saved/solve).
         fast_sat = system.all_weights_positive()
 
-        # Mid-size topologies (24 < n <= 64, past the fully-unrolled
-        # Cholesky) in this ALWAYS-BATCHED context route the normal-equation
-        # solve to the matmul-free column-sweep tier instead of XLA's
-        # serialized small-matrix cholesky (ops/linalg.spd_solve_batched;
-        # measured on v5e — table in TUNING.md).
-        from .ops.linalg import UNROLL_COL_MAX_N, UNROLL_MAX_N, spd_solve_batched
-        from .ops.linalg import spd_solve as _spd_plain
-
-        spd = (
-            spd_solve_batched
-            if UNROLL_MAX_N < system.n_vars <= UNROLL_COL_MAX_N
-            else _spd_plain
-        )
+        # Size-tiered normal-equation solver (column sweep / band / dense
+        # — see _pick_spd).
+        spd = _pick_spd(system)
 
         def solve_one(x0, pars, rtol, stol, lam0):
             if precision == "mixed":
@@ -285,31 +303,43 @@ class BatchSolver:
 
         unit = 128 * SUB
         # VMEM-aware cap: the fused kernel materializes ~(2*nnzL + 6n + 6m +
-        # 4*n_cons) live (SUB, tile/SUB) f32 blocks, each tile*4 bytes —
+        # 8*W) live (SUB, tile/SUB) f32 blocks, each tile*4 bytes —
         # the normal matrix counts by its SYMBOLIC Cholesky nonzeros (the
         # kernel never materializes structurally-zero blocks), the
         # double-single refine phase carries hi+lo pairs of x and r (hence
-        # 6n/6m, conservatively shared with the coarse-only kernel).
+        # 6n/6m, conservatively shared with the coarse-only kernel), and
+        # the per-constraint deg/sat flags travel BIT-PACKED as
+        # W = ceil(n_cons/32) i32 words (phase-2 carries 2W, outputs 2W,
+        # plus accumulator/merge temporaries — 8*W covers all of it; round
+        # 4 spent 4 FULL blocks per constraint here, which is what pushed
+        # 72-var grids and 146-var chains past the tile budget).
         # DEFAULT_TILE=16384 fits the 4-var headline topology comfortably;
         # larger topologies take a proportionally smaller tile instead of
         # failing to compile. (+64 blocks of slack for temporaries.)
         #
-        # The 11.5e6 budget is calibrated against Mosaic's own scoped-vmem
-        # accounting on a real v5e (16M limit), which this block model
-        # undercounts by ~20% at the mid-size end (pipelining
-        # double-buffers the streamed in/out refs): a 98-var chain (2214
-        # blocks, tile 1024 = 9.1M modeled) compiles and runs; a 146-var
-        # chain (3270 blocks, tile 1024 = 13.4M modeled) was rejected by
-        # Mosaic at 16.02M actual. 11.5e6 keeps every measured-good tile
-        # (4-var/16384, 26-var/4096, 50-var/2048, 65-var/2048, 98-var/1024)
-        # and excludes the measured-bad one (146-var -> no tile -> XLA
-        # path). solve() additionally falls back at runtime if a kernel
-        # the model admits is rejected by the chip.
+        # The model sizes tiles ABOVE the minimum: its 11.5e6 budget is
+        # the round-4 on-chip calibration (every larger-tile pick —
+        # 4-var/16384, 26-var/4096, 50-var/2048, 65-var/2048 — was
+        # measured good against Mosaic's scoped-vmem accounting with the
+        # FATTER round-4 kernel, so it is strictly safe for this one).
+        # At the MINIMUM tile the round-5 probe (tools/vmem_probe_r5.py,
+        # table in TUNING.md §3b-ii) showed the packed-flag kernel
+        # compiles and runs on-chip across the entire gate-admissible
+        # envelope — chains to 254 vars (the 256-instance cap), grids to
+        # 7x7 (128 vars), and the worst corner (64 vars at the 1728/2080
+        # fill cap with 254 instances, 22.5M modeled) — so eligibility
+        # floors at the minimum tile instead of declining on the model's
+        # (over-)estimate, and the binding limits are the trace-size
+        # gates (PALLAS_MAX_FILL/PALLAS_MAX_INSTANCES). solve() still
+        # falls back at runtime if the chip rejects a kernel.
+        from .ops.pallas_fleet import n_flag_words
+
         n, m = self.system.n_vars, self.system.n_rows
         nnz = self._fill_count
-        blocks = 2 * nnz + 6 * n + 6 * m + 4 * self.system.n_constraints + 64
+        blocks = (2 * nnz + 6 * n + 6 * m
+                  + 8 * n_flag_words(self.system.n_constraints) + 64)
         vmem_lanes = int(11.5e6) // (4 * blocks)
-        cap = min(DEFAULT_TILE, (vmem_lanes // unit) * unit)
+        cap = min(DEFAULT_TILE, max(unit, (vmem_lanes // unit) * unit))
         cand = min(cap, (B // unit) * unit)
         while cand >= unit:
             if B % cand == 0:
@@ -335,6 +365,7 @@ class BatchSolver:
         from .ops.pallas_fleet import (
             make_coarse_fleet_solver,
             pack_fleet,
+            unpack_flag_rows,
             unpack_rows,
         )
 
@@ -360,7 +391,9 @@ class BatchSolver:
             xp, itp, _convp, degp = kernel_run(x_p, pars_p)
             x1 = unpack_rows(xp)                       # (B, n) f32
             its = unpack_rows(itp)[:, 0]               # (B,) i32
-            deg = unpack_rows(degp).astype(jnp.bool_)  # (B, n_cons)
+            # Flags travel bit-packed (32 constraints/word) through the
+            # kernel; expand to (B, n_cons) bool here.
+            deg = unpack_flag_rows(degp, self.system.n_constraints)
             return x1, its, deg
 
         return run
@@ -382,6 +415,7 @@ class BatchSolver:
             _ds_instance_list,
             make_fused_fleet_solver,
             pack_fleet_ds,
+            unpack_flag_rows,
             unpack_rows,
         )
 
@@ -423,8 +457,11 @@ class BatchSolver:
             x = join_f64(unpack_rows(xhp), unpack_rows(xlp))  # (B, n) f64
             its = unpack_rows(itp)[:, 0]
             conv = unpack_rows(convp)[:, 0] > 0
-            sat = unpack_rows(satp).astype(jnp.bool_)   # (B, n_cons)
-            deg = unpack_rows(degp).astype(jnp.bool_)
+            # Flags travel bit-packed (32 constraints/word) through the
+            # kernel; expand to (B, n_cons) bool here.
+            n_cons = self.system.n_constraints
+            sat = unpack_flag_rows(satp, n_cons)
+            deg = unpack_flag_rows(degp, n_cons)
             return x, its, conv, sat, deg
 
         return run
@@ -645,14 +682,7 @@ class MultiTopologySolver:
                 fast_sat = system.all_weights_positive()
                 ev64 = _maybe_unroll(system)
                 ev32 = _maybe_unroll(system32) if system32 is not None else None
-                from .ops.linalg import (UNROLL_COL_MAX_N, UNROLL_MAX_N,
-                                         spd_solve, spd_solve_batched)
-
-                spd = (
-                    spd_solve_batched
-                    if UNROLL_MAX_N < system.n_vars <= UNROLL_COL_MAX_N
-                    else spd_solve
-                )
+                spd = _pick_spd(system)
 
                 def one(x0, p, system=system, ev64=ev64, ev32=ev32,
                         fast_sat=fast_sat, spd=spd):

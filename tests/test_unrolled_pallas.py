@@ -270,10 +270,12 @@ def test_pallas_eligibility_gates_are_disjunctive():
     assert s_big._pallas_coarse_fn(16384) is not None
     assert s_big._pallas_fused_fn(16384) is not None
 
-    # Expander coupling: 121 instances whose planned fill exceeds the
+    # Expander coupling: 161 instances whose planned fill exceeds the
     # budget no matter the ordering — declined even though the batch
-    # tiles and the instance count is under the cap.
-    exp = _expander(60)
+    # tiles and the instance count is under the cap. (Round 5's nested-
+    # dissection candidate squeezed the previous 60-point fixture to
+    # fill 2044 <= 2080 — correctly ADMITTED now, so the probe grew.)
+    exp = _expander(80)
     s_exp = BatchSolver(exp, Config(), batch_params=True, precision="mixed",
                         pallas_coarse=True, pallas_fused=True)
     n_inst = sum(int(b.idx.shape[0]) for b in exp.blocks)
@@ -321,33 +323,37 @@ def test_pallas_eligibility_gates_are_disjunctive():
     assert s_small._pallas_fused_fn(100) is None
 
     # The VMEM-model slack term (+64 blocks) sits at a tile boundary for
-    # 75 diagonal instances at B=16384: blocks = 18*75+64 = 1414 ->
-    # lanes 2033 -> tile 1024. Dropping the slack (blocks-128 -> lanes
-    # 2235) would pick 2048 — a kernel the chip budget was NOT calibrated
-    # for (mutation-found: the `+ 64` was otherwise unobservable).
-    b75 = compile_system([Constraint.Fixed(i, 1.0) for i in range(75)],
-                         n_vars=75)
-    s75 = BatchSolver(b75, Config(), batch_params=True, precision="mixed",
+    # 96 diagonal instances at B=16384: blocks = 14*96 + 8*3 + 64 = 1432
+    # -> lanes 2007 -> tile 1024. Dropping the slack (blocks 1368 ->
+    # lanes 2101) would pick 2048 — a kernel the chip budget was NOT
+    # calibrated for (mutation-found in round 4: the `+ 64` was
+    # otherwise unobservable; re-pinned for the round-5 packed-flag
+    # model, whose per-constraint cost is 8*ceil(c/32) words).
+    b96 = compile_system([Constraint.Fixed(i, 1.0) for i in range(96)],
+                         n_vars=96)
+    s96 = BatchSolver(b96, Config(), batch_params=True, precision="mixed",
                       pallas_coarse=True, pallas_fused=True)
-    assert s75._pick_tile(16384) == 1024
+    assert s96._pick_tile(16384) == 1024
 
 
 def test_pick_tile_respects_vmem_budget():
-    """The fused kernel's tile is capped so its ~(2*nnzL+6n+6m+4c+64) live
-    (SUB, tile/SUB) f32 blocks fit the VMEM budget — nnzL being the
+    """The fused kernel's tile is capped so its ~(2*nnzL+6n+6m+8W+64)
+    live (SUB, tile/SUB) f32 blocks fit the VMEM budget — nnzL being the
     SYMBOLIC Cholesky nonzero count (the kernel never materializes
-    structurally-zero blocks); a 26-var topology must get a smaller tile
-    than the 16384 default, and every returned tile must divide the batch
-    (mutation-found: breaking the denominator disables the cap —
-    invisible on CPU interpret runs, a compile-time OOM on a real chip).
+    structurally-zero blocks) and W = ceil(n_cons/32) the bit-packed
+    flag words (round 5; round 4 paid 4 FULL blocks per constraint);
+    a 26-var topology must get a smaller tile than the 16384 default,
+    and every returned tile must divide the batch (mutation-found:
+    breaking the denominator disables the cap — invisible on CPU
+    interpret runs, a compile-time OOM on a real chip).
     The 11.5e6 budget constant is calibrated on a real v5e against
-    Mosaic's scoped-vmem accounting: 98-var chain at tile 1024 compiles
-    (9.1M modeled), 146-var at tile 1024 was rejected at 16.02M actual
-    (the block model undercounts the streamed refs' double-buffering by
-    ~20% at that size) — 11.5e6 keeps every measured-good tile and
-    excludes the measured-bad one."""
+    Mosaic's scoped-vmem accounting (round-5 probe, tools/
+    vmem_probe_r5.py): every admitted (topology, tile) — 4-var/16384,
+    98-var chain/1024, 146-var chain/1024, 5x5 grid/1024 — compiles and
+    runs on-chip; the first beyond-model probes (194-var chain, 6x6
+    grid at tile 1024) are excluded."""
     from ezpz_tpu.batch import BatchSolver
-    from ezpz_tpu.ops.pallas_fleet import jtj_fill_count
+    from ezpz_tpu.ops.pallas_fleet import jtj_fill_count, n_flag_words
 
     cs = [Constraint.Fixed(i, float(i)) for i in range(26)]
     system = compile_system(cs, n_vars=26)
@@ -358,21 +364,24 @@ def test_pick_tile_respects_vmem_budget():
     n, m = system.n_vars, system.n_rows
     nnz = jtj_fill_count(system)
     assert nnz == 26  # 26 decoupled Fixed rows: a purely diagonal factor
-    blocks = 2 * nnz + 6 * n + 6 * m + 4 * system.n_constraints + 64
+    blocks = 2 * nnz + 6 * n + 6 * m + 8 * n_flag_words(26) + 64
     assert tile * 4 * blocks <= 11.5e6
     assert tile < 16384
-    # Exact value for this topology: blocks = 52+156+156+104+64 = 532,
-    # 11.5e6 // 2128 = 5404 lanes -> floor to the 1024 unit = 5120, then
+    # Exact value for this topology: blocks = 52+156+156+8+64 = 436,
+    # 11.5e6 // 1744 = 6594 lanes -> floor to the 1024 unit = 6144, then
     # step down to the largest unit multiple dividing B=16384 -> 4096.
     # Pins the byte-per-block factor and the budget constant in BOTH
     # directions (a smaller cap silently costs grid steps, a larger one
     # VMEM-OOMs).
     assert tile == 4096
 
-    # The measured chip boundary: a 98-var chain must keep the minimum
-    # tile; a 146-var chain must get NO tile (Mosaic rejected it).
+    # The round-5 chip boundary (probe table in TUNING.md §3b-ii): the
+    # packed-flag kernel compiles at the minimum tile across the ENTIRE
+    # gate-admissible envelope — 98-, 146- (the round-4 Mosaic
+    # rejection), 194- and 254-var chains all ride tile 1024; the
+    # binding ceilings are now the trace-size gates, not VMEM.
     from .test_ds_fused import _rect_chain
-    for R, want in ((16, 1024), (24, None)):
+    for R, want in ((16, 1024), (24, 1024), (32, 1024), (42, 1024)):
         cons, x0 = _rect_chain(R)
         sysR = compile_system(cons, n_vars=len(x0))
         sR = BatchSolver(sysR, Config(), precision="mixed")
@@ -391,7 +400,7 @@ def test_pick_tile_respects_vmem_budget():
     s2 = BatchSolver(csys, Config(), precision="mixed")
     t2 = s2._pick_tile(B)
     blocks2 = (2 * dense_nnz + 6 * 26 + 6 * csys.n_rows
-               + 4 * csys.n_constraints + 64)
+               + 8 * n_flag_words(csys.n_constraints) + 64)
     assert t2 is not None and t2 * 4 * blocks2 <= 11.5e6
 
 
