@@ -188,12 +188,19 @@ def bench_fleet(R, copies: int, reps: int, pallas_fused: bool):
 
     used_fused = bool(pallas_fused) and any(
         v is not None for v in solver._fused_runs.values())
+    # The fused kernel declining (envelope) or being rejected does not
+    # mean plain XLA: the half-carry COARSE kernel + XLA refinement is
+    # the next tier and compiled at every probed size. Label honestly.
+    used_coarse = (not used_fused) and any(
+        v is not None for v in solver._pallas_runs.values())
     return {
         "topology": topo,
         "n_instances": n_instances,
         "n_vars": system.n_vars,
         "copies": copies,
-        "path": ("pallas_fused" if used_fused else "xla_mixed"),
+        "path": ("pallas_fused" if used_fused
+                 else "pallas_coarse+xla_refine" if used_coarse
+                 else "xla_mixed"),
         "solves_per_sec": round(copies / dt, 1),
         "us_per_solve": round(dt / copies * 1e6, 3),
         "amortized_solves_per_sec": round(chain * copies / cdt, 1),

@@ -425,6 +425,20 @@ class BatchSolver:
         if (not self._pallas_topology_ok()
                 or _ds_instance_list(self._system32) is None):
             return None
+        # Compile-helper envelope at MULTI-tile grids (round-5 probe,
+        # TUNING.md §3b-ii): the FUSED kernel's phase-2 carry spans
+        # ~2(n+m) rows, and past ~320 (n+m) it compiles only at a
+        # single-tile grid in this environment — chain24 (n+m=292) and
+        # grid6x6 (268) ride grid 8 fine; chain32 (388) crashed the TPU
+        # compile helper at B=2048 AND 8192, chain42/grid7x7 at 8192.
+        # Decline multi-tile fused picks for them up front: solve() then
+        # tries the (half-carry) COARSE kernel, which compiled at every
+        # probed size, and keeps its f64 refinement on XLA.
+        from .ops.pallas_fleet import SUB as _SUB
+
+        if (self.system.n_vars + self.system.n_rows > 320
+                and B != 128 * _SUB):
+            return None
         tile = self._pick_tile(B)
         if tile is None:
             return None

@@ -387,6 +387,22 @@ def test_pick_tile_respects_vmem_budget():
         sR = BatchSolver(sysR, Config(), precision="mixed")
         assert sR._pick_tile(32768) == want, (R, sR._pick_tile(32768))
 
+    # The FUSED kernel's compile-helper envelope at multi-tile grids
+    # (probe, TUNING.md §3b-ii): past ~320 (n+m) carry rows the fused
+    # builder declines any B above one tile — solve() then rides the
+    # half-carry COARSE kernel (compiled at every probed size) with the
+    # XLA refinement — while a single-tile batch keeps the fused kernel
+    # (probed good on-chip to the 254-var instance cap).
+    for R, nm in ((32, 388), (42, 508)):
+        cons, x0 = _rect_chain(R)
+        sysR = compile_system(cons, n_vars=len(x0))
+        sF = BatchSolver(sysR, Config(), batch_params=True,
+                         precision="mixed", pallas_fused=True)
+        assert sysR.n_vars + sysR.n_rows == nm
+        assert sF._pallas_fused_fn(8192) is None, R
+        assert sF._pallas_fused_fn(1024) is not None, R
+        assert sF._pallas_coarse_fn(8192) is not None, R
+
     # A COUPLED 26-var chain fills in: its factor is far denser than the
     # diagonal one, so the cap must shrink further (the n^2-free formula
     # still tracks true structure, not just var count).
