@@ -101,9 +101,15 @@ def run(lines: int = 600, copies: int = 64, precision: str = "mixed",
     cdt = sorted(ctimes)[len(ctimes) // 2]
 
     # batch=1 latency: one synchronous coupled solve (warm), the
-    # interactive-use complement of the batched throughput number.
-    lat_us = None
+    # interactive-use complement of the batched throughput number —
+    # plus its PIPELINED variant (chained single-solve dispatches, one
+    # final sync), which excludes the per-solve tunnel round trip the
+    # sync number pays (the reference's in-process CLI pays neither,
+    # ezpz-cli/src/main.rs:96-100).
+    lat_us = lat_pipelined_us = None
     if latency:
+        import jax.numpy as jnp
+
         solver.solve(x0)  # compile the unbatched executable
         lts = []
         for k in range(reps):
@@ -111,6 +117,26 @@ def run(lines: int = 600, copies: int = 64, precision: str = "mixed",
             solver.solve(np.asarray(x0) + (k + 1) * 1e-9)
             lts.append(time.perf_counter() - t0)
         lat_us = round(sorted(lts)[len(lts) // 2] * 1e6, 1)
+        # Pipelined: drive the underlying jitted executable directly
+        # (solver.solve materializes every output to host, forcing a
+        # sync per call); chain dispatches, sync once on a scalar.
+        if solver._solve_one is not None:
+            c2 = solver.config
+            plts = []
+            for rep in range(reps):
+                t0 = time.perf_counter()
+                acc = None
+                for k in range(chain):
+                    res, _sat = solver._solve_one(
+                        jnp.asarray(x0) + (reps + rep * chain + k + 1) * 1e-9,
+                        c2.residual_tolerance, c2.step_tolerance,
+                        c2.initial_lambda)
+                    s = jnp.sum(res.x)
+                    acc = s if acc is None else acc + s
+                float(acc)
+                plts.append(time.perf_counter() - t0)
+            lat_pipelined_us = round(
+                sorted(plts)[len(plts) // 2] / chain * 1e6, 1)
 
     return {
         "metric": "coupled_system_solves_per_sec",
@@ -119,6 +145,7 @@ def run(lines: int = 600, copies: int = 64, precision: str = "mixed",
         "sync_solves_per_sec": round(copies / dt, 2),
         "chain": chain,
         "batch1_latency_us": lat_us,
+        "batch1_latency_pipelined_us": lat_pipelined_us,
         # Report the RESOLVED choice ("auto" picks structurally at build).
         "boundary_solver": solver.boundary_solver,
         "detail": {
