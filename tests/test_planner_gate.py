@@ -218,6 +218,50 @@ def test_fleet_backend_rejection_degrades():
         fleet.solve(x0, pars)
 
 
+def test_nested_dissection_wins_on_grids_loses_on_chains():
+    """The planner's candidate set (identity, RCM, ND): ND must produce a
+    true permutation and strictly beat RCM on a 2-D grid's fill (the
+    topology class it was added for, VERDICT r4 item #1b), while chains
+    keep RCM (strict-improvement acceptance)."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(
+        _os.path.dirname(_os.path.abspath(__file__))), "benches"))
+    from midsize_bench import rect_chain, rect_grid
+
+    from ezpz_tpu.ops.pallas_fleet import (_etree_fill, _instance_list,
+                                           _jtj_pattern, _nd_order,
+                                           _permuted_pattern, _rcm_order,
+                                           jtj_fill_count)
+
+    gcons, gx0 = rect_grid(5, 5)
+    gsys = compile_system(gcons, n_vars=len(gx0), dtype=jnp.float32)
+    insts = _instance_list(gsys)
+    n = gsys.n_vars
+    pat = _jtj_pattern(insts, n)
+    nd = _nd_order(pat, n)
+    assert sorted(nd) == list(range(n))  # a true permutation
+    fill_nd = _etree_fill(_permuted_pattern(pat, nd, n), n)[0]
+    fill_rcm = _etree_fill(
+        _permuted_pattern(pat, _rcm_order(pat, n), n), n)[0]
+    assert fill_nd < fill_rcm, (fill_nd, fill_rcm)
+    assert jtj_fill_count(gsys) == fill_nd  # the plan actually uses ND
+
+    ccons, cx0 = rect_chain(8)
+    csys = compile_system(ccons, n_vars=len(cx0))
+    cinsts = _instance_list(csys.astype(jnp.float32))
+    cn = csys.n_vars
+    cpat = _jtj_pattern(cinsts, cn)
+    cfill_nd = _etree_fill(
+        _permuted_pattern(cpat, _nd_order(cpat, cn), cn), cn)[0]
+    cfill_rcm = _etree_fill(
+        _permuted_pattern(cpat, _rcm_order(cpat, cn), cn), cn)[0]
+    assert cfill_rcm <= cfill_nd  # chains: RCM keeps winning
+    assert jtj_fill_count(csys) == min(cfill_rcm, cfill_nd,
+                                       _etree_fill(cpat, cn)[0])
+
+
 def test_backend_rejection_classifier():
     assert _is_backend_rejection(
         RuntimeError("RESOURCE_EXHAUSTED: scoped vmem limit"))
