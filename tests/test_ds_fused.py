@@ -500,6 +500,76 @@ def test_fused_degenerate_flags():
     assert not deg[:, 0].any() and not deg[:, 1].any()
 
 
+def test_fused_flag_bits_past_word_boundary():
+    """Round-5 flags travel bit-packed 32-per-i32-word through the
+    kernels; every pre-existing flag test used tiny topologies (every
+    cid in word 0), where a word-indexing or bit-31 sign-wrap bug is
+    invisible — and 'all satisfied' mid-size runs can't see a bit
+    PERMUTATION either. This pins specific bits in word 0's sign bit
+    (cid 31) and in word 1 (cids 35, 37) of a 42-constraint topology:
+
+    * cid 31 and 37: Distance between coincident duplicate points with
+      d=0 — satisfied but Jacobian-DEGENERATE;
+    * cid 35: a Fixed conflicting with an earlier Fixed on the same
+      variable — least-squares compromise leaves BOTH unsatisfied;
+    * every flag matrix must equal the XLA mixed path's elementwise
+      (the XLA path computes flags without any packing)."""
+    n_pts = 20
+    pts = [DatumPoint(2 * i, 2 * i + 1) for i in range(n_pts)]
+    cs = [Constraint.Fixed(pts[0].x_id, 0.0),
+          Constraint.Fixed(pts[0].y_id, 0.0)]
+    x0v = np.zeros(2 * n_pts)
+    # cids 2..20: a consistent chain of 19 distances
+    for i in range(1, n_pts):
+        cs.append(Constraint.Distance(pts[i - 1], pts[i], 1.0))
+        x0v[pts[i].x_id] = i + 0.01 * ((-1) ** i)
+    # cids 21..30: harmless y-pins
+    for i in range(1, 11):
+        cs.append(Constraint.Fixed(pts[i].y_id, 0.0))
+    assert len(cs) == 31
+    cs.append(Constraint.Distance(pts[5], pts[5], 0.0))   # cid 31 (sign bit)
+    cs.append(Constraint.Fixed(pts[11].y_id, 0.0))        # cid 32
+    cs.append(Constraint.Fixed(pts[12].y_id, 0.0))        # cid 33
+    cs.append(Constraint.Fixed(pts[13].y_id, 0.0))        # cid 34
+    cs.append(Constraint.Fixed(pts[1].x_id, 2.0))         # cid 35: conflicts
+    cs.append(Constraint.Fixed(pts[14].y_id, 0.0))        # cid 36
+    cs.append(Constraint.Distance(pts[7], pts[7], 0.0))   # cid 37 (word 1)
+    cs.append(Constraint.Fixed(pts[15].y_id, 0.0))        # cid 38
+    cs.append(Constraint.Fixed(pts[16].y_id, 0.0))        # cid 39
+    cs.append(Constraint.Fixed(pts[17].y_id, 0.0))        # cid 40
+    cs.append(Constraint.Fixed(pts[18].y_id, 0.0))        # cid 41
+    system = compile_system(cs, n_vars=2 * n_pts)
+    assert system.n_constraints == 42
+
+    B = 1024
+    x0 = jnp.asarray(np.tile(x0v, (B, 1)))
+    pars = _pars_for(system, B)
+    fused = BatchSolver(system, Config(), batch_params=True,
+                        precision="mixed", pallas_fused=True)
+    out = fused.solve(x0, pars)
+    assert fused._fused_runs and list(fused._fused_runs.values())[0] is not None
+    ref = BatchSolver(system, Config(), batch_params=True,
+                      precision="mixed").solve(x0, pars)
+
+    deg = np.asarray(out.degenerate)
+    sat = np.asarray(out.satisfied)
+    assert deg[:, 31].all() and deg[:, 37].all()
+    assert not np.delete(deg, [31, 37], axis=1).any()
+    assert not sat[:, 35].any()  # the conflicting Fixed loses
+    assert sat[:, 31].all() and sat[:, 37].all()  # d=0 at coincident pts
+
+    # Cross-path flag equality where both paths converged (the fixed-trip
+    # kernel may honestly report the inconsistent lanes unconverged where
+    # the full-budget XLA loop reaches its step tolerance; the packed-bit
+    # assertions above already came from the KERNEL output either way).
+    both = np.asarray(out.converged) & np.asarray(ref.converged)
+    if both.any():
+        np.testing.assert_array_equal(deg[both],
+                                      np.asarray(ref.degenerate)[both])
+        np.testing.assert_array_equal(sat[both],
+                                      np.asarray(ref.satisfied)[both])
+
+
 def test_ccw_angle_less_boundary_angle_contract():
     """ccw_angle_less's documented tie-breaks at exact boundary angles
     (measure-zero for random inputs, so the random agreement test above
