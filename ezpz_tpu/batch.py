@@ -86,26 +86,29 @@ def _pick_spd(system: CompiledSystem):
     contexts, by measurement on the v5e (TUNING.md):
 
     * n <= 24 — fully-unrolled Crout (inside ``spd_solve``);
-    * 24 < n <= 64 — the matmul-free column-sweep tier
-      (``spd_solve_batched``);
-    * n > 64 — the O(n*bw^2) scan BAND tier when the topology orders to
-      a narrow band (``ops.banded.plan_band``: identity or RCM, bw <= 32)
-      — a 146-var chain's band is 7 wide, and XLA's dense serialized
-      Cholesky on it was the round-4 3,000x mid-size cliff; the dense
-      tier remains only for topologies with no narrow ordering."""
+    * n > 24 with a narrow ordering — the O(n*bw^2) scan BAND tier
+      (``ops.banded.plan_band``: identity or RCM, bw <= 32). Added in
+      round 5 for the beyond-64 cliff (a 146-var chain's band is 7 wide
+      while XLA's dense serialized Cholesky was 3,000x off) and then
+      measured to beat the column-sweep tier across the WHOLE mid-size
+      range too: 1.78M vs 294k mixed solves/sec at 26 vars, 811k vs 92k
+      at 50, 433k vs 87k on the 50-var 2-D grid (amortized, B=32768);
+    * 24 < n <= 64 with no narrow ordering — the matmul-free
+      column-sweep tier (``spd_solve_batched``);
+    * n > 64 with no narrow ordering — XLA's dense tier."""
     from .ops.linalg import (UNROLL_COL_MAX_N, UNROLL_MAX_N, spd_solve,
                              spd_solve_batched)
 
     n = system.n_vars
-    if UNROLL_MAX_N < n <= UNROLL_COL_MAX_N:
-        return spd_solve_batched
-    if n > UNROLL_COL_MAX_N:
+    if n > UNROLL_MAX_N:
         from .ops.banded import make_banded_spd, plan_band
 
         plan = plan_band(system)
         if plan is not None:
             perm, bw = plan
             return make_banded_spd(n, bw, perm)
+    if UNROLL_MAX_N < n <= UNROLL_COL_MAX_N:
+        return spd_solve_batched
     return spd_solve
 
 

@@ -93,18 +93,30 @@ def test_banded_spd_nonspd_fails_cleanly():
 
 
 def test_pick_spd_tiers():
-    """<=64 vars: column-sweep tier; banded chain past 64: band tier;
-    expander past 64: dense spd_solve."""
-    cons, x0 = rect_chain(8)  # 50 vars
-    s50 = compile_system(cons, n_vars=len(x0))
-    assert _pick_spd(s50) is spd_solve_batched
+    """Narrow-ordering topologies take the band tier from n > 24 (it
+    beats the column-sweep tier 5-9x across the mid-size range, TUNING
+    measurement table); mid-size with NO narrow ordering keeps the
+    column-sweep tier; large with no narrow ordering falls to dense."""
+    for R in (8, 24):  # 50 and 146 vars, both band-narrow
+        cons, x0 = rect_chain(R)
+        s = compile_system(cons, n_vars=len(x0))
+        spd = _pick_spd(s)
+        assert spd is not spd_solve and spd is not spd_solve_batched, R
 
-    cons, x0 = rect_chain(24)  # 146 vars
-    s146 = compile_system(cons, n_vars=len(x0))
-    spd = _pick_spd(s146)
-    assert spd is not spd_solve and spd is not spd_solve_batched
-
+    # 25 decoupled vars coupled pairwise at long range: n in (24, 64]
+    # with bandwidth > 32 under any ordering -> column sweep.
     rng = np.random.default_rng(2)
+    mcons = []
+    for _ in range(80):
+        a, b = rng.choice(25, size=2, replace=False)
+        mcons.append(Constraint.Distance(
+            DatumPoint(int(2 * a), int(2 * a + 1)),
+            DatumPoint(int(2 * b), int(2 * b + 1)), 1.0))
+    smid = compile_system(mcons, n_vars=50)
+    from ezpz_tpu.ops.banded import plan_band as _pb
+    if _pb(smid) is None:  # the random graph must actually be wide
+        assert _pick_spd(smid) is spd_solve_batched
+
     dcons = []
     for _ in range(250):
         a, b = rng.choice(100, size=2, replace=False)
