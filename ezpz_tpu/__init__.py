@@ -162,4 +162,4 @@ __all__ = [
     "solve_analysis",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"

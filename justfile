@@ -82,9 +82,13 @@ coverage *ARGS="tests/ -q":
 # equivalent-survivor adjudication: docs/MUTATION.md. Round 4 mutated
 # the new Pallas planning/gate region in full with `--lines` (34
 # mutants, verification re-run 33/34 killed, the survivor provably
-# equivalent — docs/MUTATION.md "Round-4"). Full runs mutate files in
-# place: run them in a disposable copy of the repo, never the live tree
-# (see mutants-full).
+# equivalent — docs/MUTATION.md "Round-4"). Round 5 mutated the new
+# banded tier and planner in full with `--lines`: ops/banded.py
+# plan/solve 10/10, pallas_fleet etree fill 18/18, nested-dissection
+# region 25/32 with the 7 survivors adjudicated equivalent
+# (heuristic-choice knobs — docs/MUTATION.md "Round 5"). Full runs
+# mutate files in place: run them in a disposable copy of the repo,
+# never the live tree (see mutants-full).
 mutants:
     python tools/mutate.py ezpz_tpu/utils/warnings.py -- tests/test_warnings_lint.py -q
     python tools/mutate.py ezpz_tpu/solver.py --sample 40 -- \
