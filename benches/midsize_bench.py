@@ -137,7 +137,11 @@ def bench_fleet(R, copies: int, reps: int, pallas_fused: bool):
     # fused path may be interpreting) — default to no chaining.
     chain = int(os.environ.get(
         "BENCH_CHAIN", "8" if jax.default_backend() == "tpu" else "1"))
-    variants = [x0b + (k * 1e-9) for k in range(reps * chain + 1)]
+    # Index ranges PARTITION across protocols (sync [0, reps), amortized
+    # [reps, reps*(chain+1)), warmup the last) so no timed dispatch ever
+    # repeats an (executable, args) pair a remote backend could memoize —
+    # the same discipline as bench.py.
+    variants = [x0b + (k * 1e-9) for k in range(reps * (chain + 1) + 1)]
     # Materialize every variant BEFORE timing (async dispatch would defer
     # their device computation into the first timed sync otherwise).
     float(sum(v[0, 0] for v in variants))
@@ -151,7 +155,7 @@ def bench_fleet(R, copies: int, reps: int, pallas_fused: bool):
         float(out.x.sum())  # force host materialization (remote backend)
         return out
 
-    out = run_once(reps * chain)  # warmup + correctness gate
+    out = run_once(reps * (chain + 1))  # warmup + correctness gate
     conv = bool(np.asarray(out.converged).all())
     sat = bool(np.asarray(out.satisfied).all())
     r, _deg = jax.vmap(lambda x, *p: system.residual_and_flags(x, p))(
@@ -179,7 +183,7 @@ def bench_fleet(R, copies: int, reps: int, pallas_fused: bool):
         t0 = time.perf_counter()
         acc = None
         for k in range(chain):
-            o = solver.solve(variants[rep * chain + k], pars)
+            o = solver.solve(variants[reps + rep * chain + k], pars)
             s = o.x.sum()
             acc = s if acc is None else acc + s
         float(acc)

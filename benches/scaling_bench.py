@@ -91,18 +91,26 @@ def bench_fleet(devices, per_device: int, reps: int,
         res = fleet.solve(x0b, pars) if batch_params else fleet.solve(x0b)
         assert bool(np.asarray(res.converged).all())
         if pallas_fused:
-            # the artifact must measure the path it claims to measure
-            assert fleet._fused_fleet_runs.get(
-                max(B, 1024 * d)) is not None, (d, B)
+            # the artifact must measure the path it claims to measure;
+            # the cache key is the PADDED global batch (FleetSolver pads
+            # each device's shard up to the 1024-lane kernel tile).
+            unit = 1024 * d
+            Bp = max(unit, ((B + unit - 1) // unit) * unit)
+            assert fleet._fused_fleet_runs.get(Bp) is not None, (d, B, Bp)
         solvers[d] = (fleet, x0b, pars, B)
     times = {d: [] for d in solvers}
-    for _ in range(reps):
+    for rep in range(reps):
         for d, (fleet, x0b, pars, _B) in solvers.items():
+            # Fresh inputs per rep: a remote backend may memoize identical
+            # (executable, args) dispatches (the hazard bench.py documents)
+            # — irrelevant on the local CPU mesh, load-bearing the day this
+            # runs on real tunneled chips.
+            x0r = x0b + np.float64((rep + 1) * 1e-9)
             t0 = time.perf_counter()
             if batch_params:
-                out = fleet.solve(x0b, pars)
+                out = fleet.solve(x0r, pars)
             else:
-                out = fleet.solve(x0b)
+                out = fleet.solve(x0r)
             jax.block_until_ready(out.x)
             times[d].append(time.perf_counter() - t0)
     results = {}
@@ -164,6 +172,9 @@ def main(argv=None) -> int:
     ap.add_argument("--no-schur", action="store_true")
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args(argv)
+    if args.fleet_fused and args.fleet_precision != "mixed":
+        ap.error("--fleet-fused requires --fleet-precision mixed "
+                 "(the fused kernel is the mixed-precision path)")
 
     import jax
 

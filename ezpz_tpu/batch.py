@@ -57,19 +57,20 @@ PALLAS_MAX_INSTANCES = 256
 def _is_backend_rejection(err: Exception) -> bool:
     """True when ``err`` is a compile/resource rejection from the TPU
     backend — the only class of error the Pallas paths may degrade to XLA
-    on (in practice: Mosaic's scoped-vmem accounting on a real chip
-    exceeding the 16M limit where the tile model predicted a fit, or a
-    Mosaic lowering refusal). Anything else — packing/tracing bugs, bad
-    user inputs — is a real defect and must propagate, not be cached as a
-    permanent backend rejection and silently degraded."""
-    name = type(err).__name__
+    on. Classification is by MESSAGE markers, not exception type: both
+    observed real-world rejections carry them ("RESOURCE_EXHAUSTED: Ran
+    out of scoped vmem" from Mosaic's accounting; "remote_compile: HTTP
+    500: tpu_compile_helper subprocess exit code 1" from the compile
+    helper), while a bare XlaRuntimeError can equally be a transient
+    EXECUTION failure — blanket-classifying those would permanently cache
+    a rejection and silently degrade every later solve at that batch
+    size. Anything unmarked — packing/tracing bugs, bad user inputs,
+    runtime faults — propagates."""
     msg = str(err)
-    return (
-        name in ("XlaRuntimeError", "JaxRuntimeError")
-        or any(tag in msg for tag in (
-            "RESOURCE_EXHAUSTED", "Mosaic", "mosaic", "vmem", "VMEM",
-        ))
-    )
+    return any(tag in msg for tag in (
+        "RESOURCE_EXHAUSTED", "Mosaic", "mosaic", "vmem", "VMEM",
+        "remote_compile", "tpu_compile",
+    ))
 
 
 def _maybe_unroll(system: CompiledSystem):

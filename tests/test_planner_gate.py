@@ -266,5 +266,20 @@ def test_backend_rejection_classifier():
     assert _is_backend_rejection(
         RuntimeError("RESOURCE_EXHAUSTED: scoped vmem limit"))
     assert _is_backend_rejection(RuntimeError("Mosaic lowering failed"))
+    assert _is_backend_rejection(RuntimeError(
+        "INTERNAL: http://127.0.0.1:8093/remote_compile: HTTP 500: "
+        "tpu_compile_helper subprocess exit code 1"))
     assert not _is_backend_rejection(ValueError("bad shape"))
     assert not _is_backend_rejection(TypeError("not an array"))
+
+    # Classification is by message markers, NOT exception type: a bare
+    # runtime fault (e.g. a transient XlaRuntimeError at EXECUTION time)
+    # must propagate, not be cached as a permanent compile rejection and
+    # silently degrade every later solve at that batch size.
+    class XlaRuntimeError(RuntimeError):
+        pass
+
+    assert not _is_backend_rejection(
+        XlaRuntimeError("INTERNAL: transient execution failure"))
+    assert _is_backend_rejection(
+        XlaRuntimeError("RESOURCE_EXHAUSTED: Ran out of scoped vmem"))

@@ -131,16 +131,18 @@ def measure(name, make_fn, args, copies, reps, chain, while_trips=1.0):
     hbm_batch = _bytes_of(args) + _bytes_of(out)
 
     x0 = args[0]
+    # One extra variant, reserved for warmup: a timed dispatch must never
+    # repeat an (executable, args) pair a remote backend could memoize.
     variants = [(x0 + (k + 1) * 1e-9,) + tuple(args[1:])
-                for k in range(reps * chain)]
+                for k in range(reps * chain + 1)]
     float(sum(jnp.sum(v[0][0]) for v in variants))  # materialize
 
     def one(v):
         o = jit_fn(*v)
         return jax.tree_util.tree_leaves(o)[0].sum()
 
-    # warmup chain
-    float(sum(one(v) for v in variants[:1]))
+    # warmup on the reserved LAST variant
+    float(one(variants[-1]))
     ctimes = []
     for rep in range(reps):
         t0 = time.perf_counter()
@@ -178,7 +180,9 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--chain", type=int, default=None)
     ap.add_argument("--json", default=None)
-    ap.add_argument("--xla-too", action="store_true", default=True)
+    ap.add_argument("--no-xla", dest="xla_too", action="store_false",
+                    default=True,
+                    help="skip the XLA mixed-path comparison rows")
     args = ap.parse_args()
 
     import numpy as np
