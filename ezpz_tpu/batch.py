@@ -47,9 +47,13 @@ UNROLL_MAX_INSTANCES = 24
 # traces/compiles in bounded time; round 3's ceiling was "24 dense
 # instances", round 4's sparse unroll made 64 dense tractable and fill
 # the right unit). PALLAS_MAX_INSTANCES bounds the residual/Jacobian row
-# unroll, whose trace size tracks instance count — in practice the VMEM
-# tile cap (_pick_tile) gates out first, around ~150 banded vars at the
-# 1024-lane minimum tile.
+# unroll, whose trace size tracks instance count. Since round 5 (packed
+# flag words) the whole gate-admissible envelope compiles at the minimum
+# tile on-chip, so these two trace-size gates ARE the binding ceilings —
+# chains run fused to the 254-var instance cap; the VMEM model only
+# sizes larger tiles, and the fused builder additionally declines
+# multi-tile grids past ~320 (n+m) carry rows (the measured
+# compile-helper envelope), handing them to the coarse kernel.
 PALLAS_MAX_FILL = 64 * 65 // 2  # dense-64's lower-triangular factor nnz
 PALLAS_MAX_INSTANCES = 256
 
