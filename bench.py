@@ -204,13 +204,15 @@ def main():
         sys.path.insert(0, os.path.join(here, "benches"))
         from coupled_bench import run as coupled_run
 
-        # Tuned operating point from the COUPLED_r03.json sweep: the exact
-        # banded-direct boundary at n_parts=120 (3,360 solves/sec on the
-        # v5e vs 2,037-2,182 for Jacobi-PCG and 877 for the r02 default
-        # dense/n_parts=60 config). The chain's boundary Schur complement
-        # is block-tridiagonal (bw=11), so the banded solve is exact.
+        # Tuned operating point: the exact banded-direct boundary at
+        # n_parts=120 (COUPLED_r03 sweep: 3,360 solves/sec vs 2,037-2,182
+        # Jacobi-PCG and 877 for the r02 dense/n_parts=60 config; the
+        # chain's boundary Schur complement is block-tridiagonal, bw=11,
+        # so the banded solve is exact) at copies=1024 (round-5 re-sweep:
+        # 256 -> 6,449/s, 512 -> 8,108, 1024 -> 8,297, 2048 -> 8,453 —
+        # the knee; per-batch fixed cost amortizes and memory stays low).
         detail["coupled"] = coupled_run(
-            lines=600, copies=int(os.environ.get("BENCH_COUPLED_COPIES", "256")),
+            lines=600, copies=int(os.environ.get("BENCH_COUPLED_COPIES", "1024")),
             precision="mixed", reps=3,
             n_parts=int(os.environ.get("BENCH_COUPLED_PARTS", "120")),
             boundary_solver=os.environ.get("BENCH_COUPLED_BOUNDARY", "banded"),
