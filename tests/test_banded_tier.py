@@ -147,6 +147,33 @@ def test_midsize_chain_solves_through_band_tier():
     assert float(jnp.max(jnp.abs(r))) <= 1e-8
 
 
+def test_pick_spd_unrolled_boundary_exact():
+    """The unrolled tier's boundary is INCLUSIVE at n = UNROLL_MAX_N
+    (24): a narrow 24-var topology stays on the fully-unrolled dense
+    Crout (the measured-fastest tier at that size) and only 25+ routes
+    to the band planner (mutation-found: `>` -> `>=` silently moved
+    24-var chains onto the scan tier)."""
+    from ezpz_tpu.ops.linalg import UNROLL_MAX_N
+
+    assert UNROLL_MAX_N == 24
+    pts24 = [DatumPoint(2 * i, 2 * i + 1) for i in range(12)]
+    cons24 = [Constraint.Fixed(pts24[0].x_id, 0.0),
+              Constraint.Fixed(pts24[0].y_id, 0.0)]
+    for a, b in zip(pts24, pts24[1:]):
+        cons24.append(Constraint.Distance(a, b, 1.0))
+    s24 = compile_system(cons24, n_vars=24)
+    assert _pick_spd(s24) is spd_solve
+
+    pts13 = [DatumPoint(2 * i, 2 * i + 1) for i in range(13)]
+    cons26 = [Constraint.Fixed(pts13[0].x_id, 0.0),
+              Constraint.Fixed(pts13[0].y_id, 0.0)]
+    for a, b in zip(pts13, pts13[1:]):
+        cons26.append(Constraint.Distance(a, b, 1.0))
+    s26 = compile_system(cons26, n_vars=26)
+    spd = _pick_spd(s26)
+    assert spd is not spd_solve and spd is not spd_solve_batched
+
+
 def test_band_tier_respects_max_bw():
     assert BANDED_MAX_BW == 32
     # A topology ordering to a band wider than the cap must not plan.

@@ -403,6 +403,18 @@ def test_pick_tile_respects_vmem_budget():
         assert sF._pallas_fused_fn(1024) is not None, R
         assert sF._pallas_coarse_fn(8192) is not None, R
 
+    # The envelope boundary is EXCLUSIVE at exactly n+m == 320: a
+    # 160-var/160-row topology keeps the multi-tile fused path
+    # (mutation-found: `>` -> `>=` flipped the boundary, measurable
+    # only with an exact-sum probe; the measured-good envelope tops out
+    # at 292 and the measured-bad starts at 354, so 320 itself stays in).
+    b160 = compile_system([Constraint.Fixed(i, 1.0) for i in range(160)],
+                          n_vars=160)
+    s160 = BatchSolver(b160, Config(), batch_params=True,
+                       precision="mixed", pallas_fused=True)
+    assert b160.n_vars + b160.n_rows == 320
+    assert s160._pallas_fused_fn(2048) is not None
+
     # A COUPLED 26-var chain fills in: its factor is far denser than the
     # diagonal one, so the cap must shrink further (the n^2-free formula
     # still tracks true structure, not just var count).
